@@ -1,0 +1,208 @@
+"""The pseudo-label engine: CAM -> pixel pseudo-labels.
+
+Covers the live surface of the reference's ``utils/cam_helper.py``:
+``cam_to_label`` / ``cam_to_label_dynamic_cls`` banding, ``label_to_aff_mask``,
+``multi_scale_cam2_siamese`` fusion/normalisation, and the
+``refine_cams_with_*`` PAR drivers — all as batched, jittable device code
+(the reference loops over images in Python; here the batch axis is vectorised
+and per-image "valid class" gathers become -inf masking over a padded class axis).
+
+Layout: CAMs are (B, H, W, C) with C = num foreground classes; pseudo-labels are
+(B, H, W) int32 with 0 = background, c = foreground class c (1-indexed),
+``ignore_index`` = uncertain.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dupl_tpu.ops import image as image_ops
+
+
+def cam_to_label(
+    cam: jax.Array,
+    cls_label: jax.Array,
+    *,
+    bkg_thre: float,
+    img_box: Optional[jax.Array] = None,
+    ignore_mid: bool = False,
+    high_thre=None,
+    low_thre=None,
+    ignore_index: int = 255,
+) -> Tuple[jax.Array, jax.Array]:
+    """CAM -> banded pseudo-label (reference: utils/cam_helper.py:8-55).
+
+    cam: (B, H, W, C_fg); cls_label: (B, C_fg) multi-hot.
+    ``high_thre`` may be a scalar or a per-sample (B,) array — the latter is the
+    ``cam_to_label_dynamic_cls`` variant (class-dependent scheduled threshold).
+
+    Banding order matters and is preserved: argmax+1, then ``<= bkg_thre -> 0``,
+    then (if ignore_mid) ``<= high_thre -> ignore`` and ``<= low_thre -> 0``;
+    finally everything outside ``img_box`` -> ignore.
+    Returns (valid_cam, pseudo_label).
+    """
+    b, h, w, c = cam.shape
+    valid_cam = cam * cls_label[:, None, None, :]
+    cam_value = jnp.max(valid_cam, axis=-1)
+    label = jnp.argmax(valid_cam, axis=-1).astype(jnp.int32) + 1
+    label = jnp.where(cam_value <= bkg_thre, 0, label)
+    if ignore_mid:
+        high = jnp.asarray(high_thre, cam.dtype)
+        if high.ndim == 1:
+            high = high[:, None, None]
+        label = jnp.where(cam_value <= high, ignore_index, label)
+        label = jnp.where(cam_value <= low_thre, 0, label)
+    if img_box is not None:
+        inside = image_ops.box_mask(img_box, h, w)
+        label = jnp.where(inside, label, ignore_index)
+    return valid_cam, label
+
+
+def label_to_aff_mask(cam_label: jax.Array, ignore_index: int = 255) -> jax.Array:
+    """Pseudo-label -> (B, HW, HW) pairwise same-class affinity target
+    (reference: utils/cam_helper.py:323-335): 1 same class, 0 different,
+    ``ignore_index`` on any pair touching an ignored pixel and on the diagonal."""
+    b, h, w = cam_label.shape
+    flat = cam_label.reshape(b, h * w)
+    aff = (flat[:, :, None] == flat[:, None, :]).astype(jnp.int32)
+    ign = flat == ignore_index
+    aff = jnp.where(ign[:, :, None] | ign[:, None, :], ignore_index, aff)
+    eye = jnp.eye(h * w, dtype=bool)
+    return jnp.where(eye[None], ignore_index, aff)
+
+
+def multi_scale_cam(
+    cam_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
+    inputs: jax.Array,
+    scales: Sequence[float],
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-scale + flip CAM fusion (reference: utils/cam_helper.py:164-204).
+
+    ``cam_fn(x)`` maps an NHWC batch to ``(cam, cam_aux)`` at patch resolution
+    (the ``cam_only`` forward).  For every scale the batch is concatenated with
+    its horizontal flip so both views ride one big MXU matmul; per scale the CAM
+    is resized to the input size and max-merged with the un-flipped copy, ReLU'd,
+    summed over scales, then per-(sample, class) min-max normalised.
+
+    No-grad by construction: wrap the call in ``jax.lax.stop_gradient`` at the
+    call-site (the train step does).
+    """
+    b, h, w, _ = inputs.shape
+
+    def one_scale(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+        cam, cam_aux = cam_fn(both)
+        cam = image_ops.resize_bilinear(cam, (h, w))
+        cam_aux = image_ops.resize_bilinear(cam_aux, (h, w))
+        cam = jnp.maximum(cam[:b], cam[b:, :, ::-1, :])
+        cam_aux = jnp.maximum(cam_aux[:b], cam_aux[b:, :, ::-1, :])
+        return jax.nn.relu(cam), jax.nn.relu(cam_aux)
+
+    cam_sum = None
+    aux_sum = None
+    for s in scales:
+        x = inputs if s == 1.0 else image_ops.resize_bilinear(inputs, (int(s * h), int(s * w)))
+        cam, cam_aux = one_scale(x)
+        cam_sum = cam if cam_sum is None else cam_sum + cam
+        aux_sum = cam_aux if aux_sum is None else aux_sum + cam_aux
+
+    return (
+        image_ops.spatial_minmax_norm(cam_sum),
+        image_ops.spatial_minmax_norm(aux_sum),
+    )
+
+
+def _refine_labels_with_bkg_plane(
+    par_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    images_small: jax.Array,
+    cams_small: jax.Array,
+    bkg_plane_small: jax.Array,
+    cls_with_bkg: jax.Array,
+    out_size: Tuple[int, int],
+) -> jax.Array:
+    """Shared core of the two refine drivers: stack a background plane onto the
+    CAMs, softmax over *present* classes only, run PAR, upsample, argmax.
+
+    The reference gathers each image's valid classes and softmaxes the gathered
+    stack (cam_helper.py:364-372, per-image Python loop).  Equivalent batched
+    form: keep the full (1 + C_fg) class axis and mask absent classes to -inf —
+    softmax over the masked axis matches the gathered softmax, absent channels
+    become exactly 0 and stay 0 through PAR's linear propagation, so the final
+    argmax can never select them; the argmax index then IS the label (no
+    ``valid_key`` re-indexing needed).
+    """
+    stack = jnp.concatenate([bkg_plane_small, cams_small], axis=-1)
+    neg_inf = jnp.asarray(-1e30, stack.dtype)
+    stack = jnp.where(cls_with_bkg[:, None, None, :] > 0, stack, neg_inf)
+    probs = jax.nn.softmax(stack, axis=-1)
+    refined = par_fn(images_small, probs)
+    refined = image_ops.resize_bilinear(refined, out_size)
+    return jnp.argmax(refined, axis=-1).astype(jnp.int32)
+
+
+def refine_cams_with_bkg(
+    par_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    images: jax.Array,
+    cams: jax.Array,
+    cls_label: jax.Array,
+    *,
+    high_thre,
+    low_thre: float,
+    img_box: Optional[jax.Array],
+    ignore_index: int = 255,
+    down_scale: int = 2,
+) -> jax.Array:
+    """PAR-refined pseudo-labels with dual background planes
+    (reference: utils/cam_helper.py:338-431 — covers both
+    ``refine_cams_with_bkg_v2`` (scalar ``high_thre``) and
+    ``refine_cams_with_dynamic_thres`` (per-sample (B,) or (B, H, W, 1) map)).
+
+    images: (B, H, W, 3) denormalised [0,1]; cams: (B, H, W, C_fg) already
+    masked by the class label; cls_label: (B, C_fg).
+
+    Two refinement passes run with a constant background plane at the high and
+    low threshold; merge: label = high-pass label, except {high == 0 -> ignore;
+    high == 0 and low == 0 -> background}.
+    """
+    b, h, w, _ = images.shape
+    hs, ws = h // down_scale, w // down_scale
+
+    high = jnp.asarray(high_thre, cams.dtype)
+    if high.ndim <= 1:
+        bkg_h = jnp.broadcast_to(high.reshape(-1, 1, 1, 1), (b, h, w, 1))
+    else:
+        bkg_h = high
+    bkg_l = jnp.full((b, h, w, 1), low_thre, cams.dtype)
+
+    cls_with_bkg = jnp.concatenate(
+        [jnp.ones((b, 1), cls_label.dtype), cls_label], axis=-1
+    )
+
+    images_small = image_ops.resize_bilinear(images, (hs, ws))
+    cams_h_small = image_ops.resize_bilinear(
+        jnp.concatenate([bkg_h, cams], axis=-1), (hs, ws)
+    )
+    cams_l_small = image_ops.resize_bilinear(
+        jnp.concatenate([bkg_l, cams], axis=-1), (hs, ws)
+    )
+
+    label_h = _refine_labels_with_bkg_plane(
+        par_fn, images_small, cams_h_small[..., 1:], cams_h_small[..., :1],
+        cls_with_bkg, (h, w),
+    )
+    label_l = _refine_labels_with_bkg_plane(
+        par_fn, images_small, cams_l_small[..., 1:], cams_l_small[..., :1],
+        cls_with_bkg, (h, w),
+    )
+
+    if img_box is not None:
+        inside = image_ops.box_mask(img_box, h, w)
+        label_h = jnp.where(inside, label_h, ignore_index)
+        label_l = jnp.where(inside, label_l, ignore_index)
+
+    label = jnp.where(label_h == 0, ignore_index, label_h)
+    label = jnp.where((label_h + label_l) == 0, 0, label)
+    return label

@@ -1,0 +1,107 @@
+"""Image-space primitives shared across the pipeline.
+
+All tensors are NHWC unless stated otherwise (TPU-friendly layout: the channel
+axis lands on the 128-wide lane dimension).  The reference is NCHW torch code;
+layout is an implementation choice, semantics are identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ImageNet statistics in [0,255] units (reference: datasets/transforms.py:45,
+# utils/imutils.py:17).
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+def resize_bilinear(x: jax.Array, size: Tuple[int, int], *, batch_dims: int = 1) -> jax.Array:
+    """Bilinear resize with half-pixel centers over the two dims after
+    ``batch_dims`` — matches torch ``F.interpolate(mode='bilinear',
+    align_corners=False)`` used throughout the reference."""
+    shape = x.shape[:batch_dims] + tuple(size) + x.shape[batch_dims + 2:]
+    return jax.image.resize(x, shape, method="bilinear")
+
+
+def resize_nearest(x: jax.Array, size: Tuple[int, int], *, batch_dims: int = 1) -> jax.Array:
+    shape = x.shape[:batch_dims] + tuple(size) + x.shape[batch_dims + 2:]
+    return jax.image.resize(x, shape, method="nearest")
+
+
+def denormalize(x: jax.Array) -> jax.Array:
+    """ImageNet-normalised float image -> [0,1] floats.
+
+    The reference's ``denormalize_img2`` (utils/imutils.py:27-31) round-trips
+    through uint8; we keep floats (the uint8 cast only mattered for PIL)."""
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(IMAGENET_STD, x.dtype)
+    return (x * std + mean) / 255.0
+
+
+def normalize(x01: jax.Array) -> jax.Array:
+    """[0,1] floats -> ImageNet-normalised."""
+    mean = jnp.asarray(IMAGENET_MEAN, x01.dtype)
+    std = jnp.asarray(IMAGENET_STD, x01.dtype)
+    return (x01 * 255.0 - mean) / std
+
+
+def box_mask(img_box: jax.Array, height: int, width: int) -> jax.Array:
+    """(B, 4) [h0, h1, w0, w1] -> (B, H, W) bool mask of the valid crop region.
+
+    Device-side replacement for the reference's per-image Python slicing loop
+    (utils/cam_helper.py:26-28)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, height, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
+    h0 = img_box[:, 0][:, None, None]
+    h1 = img_box[:, 1][:, None, None]
+    w0 = img_box[:, 2][:, None, None]
+    w1 = img_box[:, 3][:, None, None]
+    return (rows >= h0) & (rows < h1) & (cols >= w0) & (cols < w1)
+
+
+def scale_box(img_box: jax.Array, factor_num: int, factor_den: int) -> jax.Array:
+    """Rescale integer box coordinates by factor_num/factor_den."""
+    return img_box * factor_num // factor_den
+
+
+def spatial_minmax_norm(cam: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Per-(sample, class) spatial min-max normalisation, exactly the
+    ``adaptive_max_pool2d`` trick of the reference (utils/cam_helper.py:196-202):
+    shift by the spatial min, divide by the (shifted) spatial max + eps.
+
+    cam: (..., H, W, C).
+    """
+    mn = jnp.min(cam, axis=(-3, -2), keepdims=True)
+    cam = cam - mn
+    mx = jnp.max(cam, axis=(-3, -2), keepdims=True)
+    return cam / (mx + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("dilations",))
+def dilated_neighbors(x: jax.Array, dilations: Sequence[int]) -> jax.Array:
+    """Gather the 8-connected neighborhood at each dilation with replicate
+    padding (reference: model/PAR.py:39-49, cross-correlation with one-hot 3x3
+    kernels over replicate-padded input).
+
+    x: (B, H, W, C) -> (B, H, W, K, C) with K = 8 * len(dilations).
+
+    Implemented as static slices of a single replicate-padded copy — pure XLA
+    data movement that fuses with downstream elementwise math.
+    """
+    b, h, w, c = x.shape
+    dmax = max(dilations)
+    xp = jnp.pad(x, ((0, 0), (dmax, dmax), (dmax, dmax), (0, 0)), mode="edge")
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    taps = []
+    for d in dilations:
+        for dy, dx in offsets:
+            taps.append(
+                jax.lax.dynamic_slice(
+                    xp, (0, dmax + dy * d, dmax + dx * d, 0), (b, h, w, c)
+                )
+            )
+    return jnp.stack(taps, axis=3)

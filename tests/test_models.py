@@ -1,0 +1,155 @@
+"""Model-stack tests: shapes, dual-student stacking, checkpoint conversion
+parity against a torch oracle ViT block."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dupl_tpu.config import ModelConfig
+from dupl_tpu.models.network import DualStudent, Student
+from dupl_tpu.models.pretrained import convert_vit_state_dict, install_pretrained_encoder
+from dupl_tpu.models.vit import ViT, VIT_CONFIGS
+
+TINY = ModelConfig(backbone="test_tiny_patch16", num_classes=21,
+                   embed_dim=32, depth=4, num_heads=2, compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = DualStudent(TINY)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def test_student_shapes(tiny_model):
+    model, params = tiny_model
+    x = jnp.ones((2, 64, 64, 3), jnp.float32)
+    out = model.apply(params, x)
+    assert out.cls.shape == (2, 2, 20)        # (branch, B, C_fg)
+    assert out.seg.shape == (2, 2, 4, 4, 21)  # patch res 64/16
+    assert out.fmap.shape == (2, 2, 4, 4, 32)
+    assert out.cls_aux.shape == (2, 2, 20)
+
+
+def test_branches_are_independent(tiny_model):
+    model, params = tiny_model
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    out = model.apply(params, x)
+    # independent inits -> different outputs
+    assert not np.allclose(np.asarray(out.cls[0]), np.asarray(out.cls[1]))
+    # branch slicing agrees with the vmapped path
+    b0 = model.apply_branch(params, 0, x)
+    np.testing.assert_allclose(np.asarray(out.cls[0]), np.asarray(b0.cls), rtol=1e-5)
+
+
+def test_cam_only_matches_classifier_weights(tiny_model):
+    """cam_only = per-pixel application of the pooled classifier
+    (model_dupl.py:81-84)."""
+    model, params = tiny_model
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32)
+    cam, cam_aux = model.cam_only(params, x)
+    assert cam.shape == (2, 1, 4, 4, 20)
+    out = model.apply(params, x)
+    w = params["params"]["classifier"]["kernel"]  # (branch, D, C_fg)
+    expect = jnp.einsum("kbhwd,kdc->kbhwc", out.fmap, w)
+    np.testing.assert_allclose(np.asarray(cam), np.asarray(expect), rtol=1e-4, atol=1e-5)
+
+
+def test_pos_embed_interpolation_changes_with_input_size():
+    spec = VIT_CONFIGS["test_tiny_patch16"]
+    vit = ViT(spec, aux_layer=-3, dtype=jnp.float32)
+    p = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    for size in (32, 64, 96):  # different grids all work
+        cls, tokens, aux = vit.apply(p, jnp.ones((1, size, size, 3)))
+        n = (size // 16) ** 2
+        assert tokens.shape == (1, n, 32)
+        assert aux.shape == (1, n, 32)
+
+
+def test_convert_vit_state_dict_roundtrip():
+    """A synthetic timm-style state dict converts and runs; qkv transpose and
+    patch-embed OIHW->HWIO are the risky bits — verify numerically with a
+    1-block torch forward."""
+    import torch
+
+    D, P, G = 8, 4, 4  # embed, patch, grid
+    torch.manual_seed(0)
+    state = {
+        "cls_token": torch.randn(1, 1, D),
+        "pos_embed": torch.randn(1, G * G + 1, D),
+        "patch_embed.proj.weight": torch.randn(D, 3, P, P),
+        "patch_embed.proj.bias": torch.randn(D),
+        "norm.weight": torch.ones(D), "norm.bias": torch.zeros(D),
+    }
+    for i in range(2):
+        b = f"blocks.{i}."
+        state.update({
+            b + "norm1.weight": torch.ones(D), b + "norm1.bias": torch.zeros(D),
+            b + "attn.qkv.weight": torch.randn(3 * D, D),
+            b + "attn.qkv.bias": torch.randn(3 * D),
+            b + "attn.proj.weight": torch.randn(D, D),
+            b + "attn.proj.bias": torch.randn(D),
+            b + "norm2.weight": torch.ones(D), b + "norm2.bias": torch.zeros(D),
+            b + "mlp.fc1.weight": torch.randn(4 * D, D),
+            b + "mlp.fc1.bias": torch.randn(4 * D),
+            b + "mlp.fc2.weight": torch.randn(D, 4 * D),
+            b + "mlp.fc2.bias": torch.randn(D),
+        })
+    np_state = {k: v.numpy() for k, v in state.items()}
+    converted = convert_vit_state_dict(np_state, depth=2)
+
+    from dupl_tpu.models.vit import ViTSpec
+    spec = ViTSpec(patch_size=P, embed_dim=D, depth=2, num_heads=2,
+                   mlp_ratio=4.0, pretrained_grid=G)
+    vit = ViT(spec, aux_layer=-1, dtype=jnp.float32)
+    x = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
+    init = vit.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {"params": converted}
+    cls_j, tok_j, _ = vit.apply(params, jnp.asarray(x))
+
+    # torch oracle forward (grid matches pretraining grid -> no interpolation)
+    with torch.no_grad():
+        xt = torch.tensor(x).permute(0, 3, 1, 2)
+        patches = torch.nn.functional.conv2d(
+            xt, state["patch_embed.proj.weight"], state["patch_embed.proj.bias"],
+            stride=P)
+        tokens = patches.flatten(2).transpose(1, 2)
+        tokens = torch.cat([state["cls_token"], tokens], dim=1) + state["pos_embed"]
+        h = tokens
+        for i in range(2):
+            b = f"blocks.{i}."
+            y = torch.nn.functional.layer_norm(h, (D,), state[b + "norm1.weight"],
+                                               state[b + "norm1.bias"], eps=1e-6)
+            qkv = (y @ state[b + "attn.qkv.weight"].T + state[b + "attn.qkv.bias"])
+            q, k, v = qkv.reshape(1, -1, 3, 2, D // 2).permute(2, 0, 3, 1, 4)
+            att = torch.softmax(q @ k.transpose(-2, -1) * (D // 2) ** -0.5, dim=-1)
+            o = (att @ v).transpose(1, 2).reshape(1, -1, D)
+            h = h + o @ state[b + "attn.proj.weight"].T + state[b + "attn.proj.bias"]
+            y = torch.nn.functional.layer_norm(h, (D,), state[b + "norm2.weight"],
+                                               state[b + "norm2.bias"], eps=1e-6)
+            y = torch.nn.functional.gelu(y @ state[b + "mlp.fc1.weight"].T
+                                         + state[b + "mlp.fc1.bias"])
+            h = h + y @ state[b + "mlp.fc2.weight"].T + state[b + "mlp.fc2.bias"]
+        h = torch.nn.functional.layer_norm(h, (D,), state["norm.weight"],
+                                           state["norm.bias"], eps=1e-6)
+    np.testing.assert_allclose(np.asarray(tok_j), h[:, 1:].numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cls_j), h[:, 0].numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_install_pretrained_into_stacked_params(tiny_model):
+    model, params = tiny_model
+    fake = jax.tree.map(
+        lambda x: np.full(x.shape[1:], 0.5, np.float32),
+        params["params"]["encoder"],
+    )
+    new = install_pretrained_encoder(params, fake)
+    leaf = new["params"]["encoder"]["cls_token"]
+    assert leaf.shape == params["params"]["encoder"]["cls_token"].shape
+    assert np.all(np.asarray(leaf) == 0.5)
+    # heads untouched
+    np.testing.assert_array_equal(
+        np.asarray(new["params"]["classifier"]["kernel"]),
+        np.asarray(params["params"]["classifier"]["kernel"]),
+    )
