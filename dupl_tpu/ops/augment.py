@@ -1,0 +1,135 @@
+"""Device-side strong augmentation.
+
+The reference's strong view (utils/imutils.py:305-317) round-trips every image
+through PIL on the host — ``RandAugment(n=5, m=10)`` over a 7-op list
+(utils/randomaug.py:161-204: AutoContrast, Equalize, Posterize, Color,
+Contrast, Brightness, Sharpness) followed by a horizontal flip — a per-step
+host serialisation point.  Here the same ops are batched jnp array code inside
+the jitted train step.
+
+Ops work on [0,1] float images (scaled to [0,255] internally to keep PIL's
+constants).  Deliberate approximations vs PIL (documented, statistically
+equivalent augmentation noise): no uint8 quantisation between ops, and
+Equalize uses the continuous CDF map rather than PIL's integer LUT.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _grayscale(img255: jax.Array) -> jax.Array:
+    """PIL "L" weights."""
+    r, g, b = img255[..., 0], img255[..., 1], img255[..., 2]
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def autocontrast(img255: jax.Array, _v) -> jax.Array:
+    """Per-channel linear stretch to [0, 255] (PIL.ImageOps.autocontrast)."""
+    lo = jnp.min(img255, axis=(0, 1), keepdims=True)
+    hi = jnp.max(img255, axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
+    out = (img255 - lo) * scale
+    return jnp.where(hi > lo, out, img255)
+
+
+def equalize(img255: jax.Array, _v) -> jax.Array:
+    """Per-channel histogram equalization via the empirical CDF
+    (PIL.ImageOps.equalize up to LUT integer rounding)."""
+    h, w, _ = img255.shape
+
+    def eq_channel(ch):
+        q = jnp.clip(ch, 0, 255).astype(jnp.int32)
+        hist = jnp.bincount(q.reshape(-1), length=256)
+        cdf = jnp.cumsum(hist)
+        n = cdf[-1]
+        cdf_min = jnp.min(jnp.where(hist > 0, cdf, n + 1))
+        lut = (cdf - cdf_min) * 255.0 / jnp.maximum(n - cdf_min, 1)
+        return jnp.take(jnp.clip(lut, 0, 255), q)
+
+    return jnp.stack([eq_channel(img255[..., c]) for c in range(3)], axis=-1)
+
+
+def posterize(img255: jax.Array, v) -> jax.Array:
+    """Keep the top ``bits`` bits (PIL.ImageOps.posterize); the reference maps
+    magnitude into [0, 6] and clamps bits >= 1 (randomaug.py:92-95)."""
+    bits = jnp.maximum(jnp.floor(v), 1.0)
+    step = 2.0 ** (8.0 - bits)
+    return jnp.floor(jnp.clip(img255, 0, 255) / step) * step
+
+
+def color(img255: jax.Array, v) -> jax.Array:
+    """Saturation: blend with the per-pixel grayscale (PIL ImageEnhance.Color)."""
+    gray = _grayscale(img255)[..., None]
+    return gray + v * (img255 - gray)
+
+
+def contrast(img255: jax.Array, v) -> jax.Array:
+    """Blend with the scalar mean of the grayscale image."""
+    mean = jnp.mean(_grayscale(img255))
+    return mean + v * (img255 - mean)
+
+
+def brightness(img255: jax.Array, v) -> jax.Array:
+    return img255 * v
+
+
+def sharpness(img255: jax.Array, v) -> jax.Array:
+    """Blend with PIL's SMOOTH filter (3x3 kernel, center 5 / sum 13); PIL
+    leaves the 1-px border of the filtered image untouched."""
+    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    x = img255[None].transpose(0, 3, 1, 2)  # NCHW, depthwise smooth per channel
+    sm = jnp.concatenate([
+        jax.lax.conv_general_dilated(
+            x[:, c:c + 1], k[None, None], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        for c in range(3)
+    ], axis=1)[0].transpose(1, 2, 0)
+    h, w, _ = img255.shape
+    inner = jnp.pad(jnp.ones((h - 2, w - 2, 1), bool), ((1, 1), (1, 1), (0, 0)))
+    sm = jnp.where(inner, sm, img255)
+    return sm + v * (img255 - sm)
+
+
+_OPS = (autocontrast, equalize, posterize, color, contrast, brightness, sharpness)
+# (min, max) magnitude ranges from randomaug.augment_list:161-204
+_RANGES = ((0, 1), (0, 1), (0, 6), (0.1, 1.9), (0.1, 1.9), (0.1, 1.9), (0.1, 1.9))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m"))
+def rand_augment(rng: jax.Array, images01: jax.Array, n: int = 5, m: int = 10) -> jax.Array:
+    """Batched RandAugment: per image, ``n`` ops sampled with replacement from
+    the 7-op list at magnitude ``m``/30 (randomaug.RandAugment:253-265).
+
+    images01: (B, H, W, 3) in [0,1].  Returns [0,1] images.
+    """
+    b = images01.shape[0]
+    img = images01 * 255.0
+    vals = jnp.asarray(
+        [(m / 30.0) * (hi - lo) + lo for lo, hi in _RANGES], jnp.float32
+    )
+
+    def apply_one(img_i, op_idx):
+        branches = [
+            (lambda im, f=f, i=i: jnp.clip(f(im, vals[i]), 0.0, 255.0))
+            for i, f in enumerate(_OPS)
+        ]
+        return jax.lax.switch(op_idx, branches, img_i)
+
+    for round_i in range(n):
+        rng, sub = jax.random.split(rng)
+        ops = jax.random.randint(sub, (b,), 0, len(_OPS))
+        img = jax.vmap(apply_one)(img, ops)
+
+    return img / 255.0
+
+
+def strong_augment(rng: jax.Array, images01: jax.Array, n: int = 5, m: int = 10) -> jax.Array:
+    """RandAugment + horizontal flip — the full strong perturbation of
+    ``augment_data_strong`` (imutils.py:305-317).  Input/output [0,1]."""
+    img = rand_augment(rng, images01, n, m)
+    return img[:, :, ::-1, :]

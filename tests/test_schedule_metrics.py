@@ -22,7 +22,8 @@ def test_poly_warmup_schedule():
         ours = float(schedule.poly_warmup_schedule(
             step, base_lr=6e-5, warmup_iters=1500, warmup_ratio=1e-6,
             max_iters=20000, power=0.9))
-        assert ours == pytest.approx(_ref_lr(step), rel=1e-4)  # f32 schedule math
+        # rel 5e-4 absorbs f32 cancellation in (1 - t/T) at the schedule tail
+        assert ours == pytest.approx(_ref_lr(step), rel=5e-4)
 
 
 def test_cosine_descent():

@@ -1,0 +1,86 @@
+"""Integration: every curriculum phase runs one jitted step end-to-end on the
+tiny model and updates parameters (SURVEY.md §7 step 4: the minimum end-to-end
+slice)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import dataclasses
+
+from dupl_tpu.config import ModelConfig, TrainConfig, GmmConfig, ParConfig, voc_config
+from dupl_tpu.data.pipeline import synthetic_batch
+from dupl_tpu.engine.train import Trainer, TrainState, loss_weights, phase_of
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer():
+    cfg = voc_config(
+        model=ModelConfig(backbone="test_tiny_patch16", compute_dtype="float32"),
+        par=ParConfig(num_iter=2),
+        gmm=GmmConfig(min_pixels=10),
+        cam_iters=2, gmm_iters=4, max_iters=10,
+        samples_per_device=2,
+    )
+    trainer = Trainer(cfg)
+    batch = synthetic_batch(2, crop=64)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    return cfg, trainer, state, batch
+
+
+def test_phase_table():
+    cfg = voc_config(cam_iters=2000, gmm_iters=8000, max_iters=20000)
+    assert phase_of(cfg, 0) == "warmup"
+    assert phase_of(cfg, 1999) == "warmup"
+    assert phase_of(cfg, 2000) == "seg"
+    assert phase_of(cfg, 7999) == "seg"
+    assert phase_of(cfg, 8000) == "full"
+    w = loss_weights(cfg, 100)
+    assert w.seg == 0.0 and w.cls == 1.0 and w.ptc == 0.2
+    w = loss_weights(cfg, 9000)
+    assert w.reg == 0.05 and w.seg == 0.2
+
+
+def test_coco_phase_table():
+    from dupl_tpu.config import coco_config
+    cfg = coco_config()
+    assert phase_of(cfg, 100) == "warmup"
+    assert phase_of(cfg, 9000) == "seg_static"
+    assert phase_of(cfg, 13000) == "seg"
+    assert phase_of(cfg, 40000) == "full"
+    assert loss_weights(cfg, 100) == (1.0, 0.0, 0.0, 0.0, 0.0)
+    assert loss_weights(cfg, 9000).seg == 0.2
+    assert loss_weights(cfg, 9000).ptc == 0.0
+
+
+def test_all_phases_run_and_update(tiny_trainer):
+    cfg, trainer, state, batch = tiny_trainer
+    # host copies: the step functions donate the input state's buffers
+    p0 = np.asarray(state.params["params"]["classifier"]["kernel"])
+    pe0 = np.asarray(state.params["params"]["encoder"]["pos_embed"])
+
+    for expected_phase in ["warmup", "warmup", "seg", "seg", "full"]:
+        assert phase_of(cfg, int(state.step)) == expected_phase
+        state, metrics = trainer.train_step(state, batch)
+        for key in ("loss", "cls_loss", "ptc_loss", "seg_loss", "sim_loss", "reg_loss"):
+            val = float(metrics[key])
+            assert np.isfinite(val), (expected_phase, key, val)
+
+    p1 = np.asarray(state.params["params"]["classifier"]["kernel"])
+    assert not np.allclose(p0, p1)
+    assert int(state.step) == 5
+    # frozen pos_embed never moves
+    np.testing.assert_array_equal(
+        pe0, np.asarray(state.params["params"]["encoder"]["pos_embed"]))
+
+
+def test_deterministic_given_seed(tiny_trainer):
+    cfg, trainer, _, batch = tiny_trainer
+    m = []
+    for _ in range(2):
+        state = trainer.init_state(jax.random.PRNGKey(7), batch["image"][:1])
+        _, metrics = trainer.train_step(state, batch)
+        m.append(float(metrics["loss"]))
+    assert m[0] == m[1]
