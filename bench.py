@@ -39,16 +39,22 @@ def main():
 
     @jax.jit
     def cam_par_pipeline(params, inputs, cls_label, img_box):
-        """The inference pseudo-label pipeline: multi-scale CAM for both
-        branches + PAR refinement — the compute the reference runs per eval
-        image (tools/infer_cam_voc.py path) plus its PAR refinement."""
+        """The full inference pipeline of BASELINE.json: multi-scale CAM for
+        both branches, PAR refinement into pseudo-labels, and mean-field CRF
+        over the seg posteriors — everything the reference splits between GPU
+        inference and hours of host CPU (pydensecrf), in one device program."""
         import dupl_tpu.ops.image as image_ops
+        from dupl_tpu.ops import crf as crf_ops
         cams, _ = trainer._multi_scale_cams(params, inputs)
+        denorm = image_ops.denormalize(inputs)
         refined = trainer._refine(
-            cams, image_ops.denormalize(inputs), cls_label, img_box,
-            high_thre=cfg.high_thre,
+            cams, denorm, cls_label, img_box, high_thre=cfg.high_thre,
         )
-        return refined
+        out = model.apply(params, inputs)
+        seg = image_ops.resize_bilinear(out.seg[0], inputs.shape[1:3])
+        probs = jax.nn.softmax(seg, axis=-1)
+        marginals = crf_ops.crf_from_config(denorm, probs, cfg.crf)
+        return refined, jnp.argmax(marginals, axis=-1)
 
     def sync(x):
         # host transfer forces completion (block_until_ready is unreliable on
@@ -67,7 +73,7 @@ def main():
 
     img_per_s = batch_size * iters / dt
     print(json.dumps({
-        "metric": "cam_par_inference_voc_vitb",
+        "metric": "cam_par_crf_inference_voc_vitb",
         "value": round(img_per_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 2),

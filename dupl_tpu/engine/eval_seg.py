@@ -1,0 +1,183 @@
+"""Offline segmentation evaluation: multi-scale + flip inference, branch
+selection, CRF post-processing (reference: tools/eval_seg_voc.py,
+tools/eval_seg_coco_ddp.py).
+
+Reference semantics preserved: per scale the batch is concatenated with its
+horizontal flip, seg logits are upsampled and flip-summed; scales are
+max-merged (VOC, eval_seg_voc.py:76-77) or sum-merged (COCO,
+eval_seg_coco_ddp.py:120-121); the better branch by raw mIoU is selected
+(eval_seg_voc.py:185-188) and CRF-refined.
+
+TPU adaptation: inference runs at a fixed base resolution (``crop_size``,
+like the reference's COCO eval which fixes 448² — eval_seg_coco_ddp.py:117)
+so each scale compiles once and images batch together; merged logits are
+bilinear-resized to each label's native size on the host for scoring, exactly
+where the reference resizes (eval_seg_voc.py:126-128).  CRF runs either on
+device (batched mean-field at base resolution, the ≥10x-throughput path) or
+through the native permutohedral oracle at native resolution.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dupl_tpu.config import TrainConfig
+from dupl_tpu.engine.validate import _resize_logits_host, add_hist
+from dupl_tpu.models.network import DualStudent
+from dupl_tpu.ops import crf as crf_ops
+from dupl_tpu.ops import image as image_ops
+from dupl_tpu.utils import colormap
+from dupl_tpu.utils import metrics as metrics_utils
+
+
+class SegEvaluator:
+    def __init__(self, cfg: TrainConfig, model: DualStudent,
+                 scales: Sequence[float] = (1.0, 1.5, 1.25),
+                 merge: str = "max"):
+        self.cfg = cfg
+        self.model = model
+        self.scales = tuple(scales)
+        self.merge = merge
+        self._msc_fn = None
+        self._crf_fn = None
+
+    def _device_msc(self):
+        if self._msc_fn is None:
+            base = self.cfg.data.crop_size
+
+            @jax.jit
+            def fn(params, x):
+                b = x.shape[0]
+                merged = None
+                for sc in self.scales:
+                    size = (int(base * sc), int(base * sc))
+                    xs = x if size == (base, base) else image_ops.resize_bilinear(x, size)
+                    both = jnp.concatenate([xs, xs[:, :, ::-1, :]], axis=0)
+                    out = self.model.apply(params, both)  # seg: (2, 2B, h, w, C)
+                    seg = image_ops.resize_bilinear(out.seg, (base, base), batch_dims=2)
+                    seg = seg[:, :b] + seg[:, b:, :, ::-1, :]
+                    if merged is None:
+                        merged = seg
+                    elif self.merge == "max":
+                        merged = jnp.maximum(merged, seg)
+                    else:
+                        merged = merged + seg
+                return merged  # (2, B, base, base, C)
+
+            self._msc_fn = fn
+        return self._msc_fn
+
+    def _device_crf(self, image01, probs):
+        return crf_ops.crf_from_config(image01, probs, self.cfg.crf)
+
+    def run(self, params, dataset, *, batch_size: int = 8,
+            crf: str = "device", out_dir: Optional[str] = None,
+            max_images: Optional[int] = None, log=None,
+            shard: int = 0, num_shards: int = 1) -> Dict[str, object]:
+        """Evaluate; returns per-branch raw scores, the selected branch, and
+        CRF scores.  ``shard``/``num_shards`` stride the dataset like the
+        reference's DDP eval split (eval_seg_coco_ddp.py:240-242)."""
+        cfg = self.cfg
+        nc = cfg.num_classes
+        base = cfg.data.crop_size
+        fn = self._device_msc()
+
+        indices = list(range(len(dataset)))[shard::num_shards]
+        if max_images is not None:
+            indices = indices[:max_images]
+
+        hists = {1: np.zeros((nc, nc), np.float64), 2: np.zeros((nc, nc), np.float64)}
+        crf_hist = np.zeros((nc, nc), np.float64)
+        records: List[Dict] = []
+
+        for lo in range(0, len(indices), batch_size):
+            chunk = indices[lo:lo + batch_size]
+            samples = [dataset[i] for i in chunk]
+            imgs = jnp.stack([
+                image_ops.resize_bilinear(jnp.asarray(s["image"])[None], (base, base))[0]
+                for s in samples
+            ])
+            logits = np.asarray(fn(params, imgs), np.float32)  # (2, B, base, base, C)
+            for bi, s in enumerate(samples):
+                size = s["label"].shape
+                for k in (1, 2):
+                    up = _resize_logits_host(logits[k - 1, bi], size)
+                    add_hist(hists[k], s["label"], up.argmax(-1))
+                records.append({
+                    "name": s["name"], "label": s["label"],
+                    "raw_image": s["raw_image"],
+                    "logits": logits[:, bi],
+                })
+            if log and (lo // batch_size) % 10 == 0:
+                log.info("eval %d/%d", lo + len(chunk), len(indices))
+
+        scores = {k: metrics_utils.scores_from_hist(hists[k]) for k in (1, 2)}
+        best = 1 if scores[1]["miou"] >= scores[2]["miou"] else 2
+        result: Dict[str, object] = {
+            "seg_score_1": scores[1], "seg_score_2": scores[2], "branch": best,
+        }
+        if log:
+            log.info("branch1 mIoU %.3f | branch2 mIoU %.3f -> branch %d",
+                     100 * scores[1]["miou"], 100 * scores[2]["miou"], best)
+
+        if crf == "none":
+            return result
+
+        if out_dir:
+            os.makedirs(os.path.join(out_dir, "seg_preds"), exist_ok=True)
+            os.makedirs(os.path.join(out_dir, "seg_preds_rgb"), exist_ok=True)
+
+        if crf == "device":
+            for lo in range(0, len(records), batch_size):
+                chunk = records[lo:lo + batch_size]
+                probs = jax.nn.softmax(
+                    jnp.stack([jnp.asarray(r["logits"][best - 1]) for r in chunk]), axis=-1)
+                imgs01 = jnp.stack([
+                    image_ops.resize_bilinear(
+                        jnp.asarray(r["raw_image"], jnp.float32)[None] / 255.0,
+                        (base, base))[0]
+                    for r in chunk
+                ])
+                refined = np.asarray(crf_ops.crf_from_config(imgs01, probs, self.cfg.crf))
+                for bi, r in enumerate(chunk):
+                    pred = _resize_logits_host(refined[bi], r["label"].shape).argmax(-1)
+                    add_hist(crf_hist, r["label"], pred)
+                    self._write_pred(out_dir, r["name"], pred)
+        else:  # native permutohedral at native resolution (reference-exact)
+            from dupl_tpu.ops.crf_native import DenseCRF
+            post = DenseCRF.from_config(self.cfg.crf)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def job(r):
+                size = r["label"].shape
+                up = _resize_logits_host(r["logits"][best - 1], size)
+                prob = np.exp(up - up.max(-1, keepdims=True))
+                prob /= prob.sum(-1, keepdims=True)
+                out = post(r["raw_image"], prob.transpose(2, 0, 1))
+                pred = out.argmax(0)
+                return r, pred
+
+            with ThreadPoolExecutor(max(1, int(os.cpu_count() * 0.8))) as ex:
+                for r, pred in ex.map(job, records):
+                    add_hist(crf_hist, r["label"], pred)
+                    self._write_pred(out_dir, r["name"], pred)
+
+        result["crf_score"] = metrics_utils.scores_from_hist(crf_hist)
+        if log:
+            log.info("CRF mIoU %.3f", 100 * result["crf_score"]["miou"])
+        return result
+
+    @staticmethod
+    def _write_pred(out_dir, name, pred):
+        if not out_dir:
+            return
+        from PIL import Image
+        Image.fromarray(pred.astype(np.uint8)).save(
+            os.path.join(out_dir, "seg_preds", name + ".png"))
+        Image.fromarray(colormap.encode_cmap(pred)).save(
+            os.path.join(out_dir, "seg_preds_rgb", name + ".png"))

@@ -147,7 +147,18 @@ def mean_field_crf(
     return jax.vmap(one_image)(image01, probs)
 
 
+def _auto_tile(h: int, limit: int) -> int:
+    """Largest divisor of h not exceeding ``limit``."""
+    for t in range(min(limit, h), 0, -1):
+        if h % t == 0:
+            return t
+    return 1
+
+
 def crf_from_config(image01, probs, cfg: CrfConfig, **kw):
+    h = probs.shape[1]
+    kw.setdefault("downsample", _auto_tile(h, 8))
+    kw.setdefault("row_chunk", _auto_tile(h, 56))
     return mean_field_crf(
         image01, probs, iters=cfg.iter_max, pos_w=cfg.pos_w,
         pos_xy_std=cfg.pos_xy_std, bi_w=cfg.bi_w, bi_xy_std=cfg.bi_xy_std,

@@ -1,0 +1,106 @@
+"""Validator / SegEvaluator integration on a tiny model + synthetic dataset."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dupl_tpu.config import ModelConfig, DataConfig, voc_config
+from dupl_tpu.engine.eval_seg import SegEvaluator
+from dupl_tpu.engine.train import Trainer
+from dupl_tpu.engine.validate import Validator
+
+
+class FakeSegDataset:
+    """Synthetic val-style dataset with variable image sizes."""
+
+    def __init__(self, n=4, num_classes=21, seed=0):
+        self.n = n
+        self.nc = num_classes
+        self.rs = np.random.RandomState(seed)
+        self.sizes = [(80, 96), (96, 80), (64, 64), (96, 96)]
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i, seed=None):
+        h, w = self.sizes[i % len(self.sizes)]
+        raw = self.rs.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        label = self.rs.randint(0, self.nc, (h, w)).astype(np.int32)
+        cls_label = np.zeros(self.nc - 1, np.float32)
+        cls_label[self.rs.randint(0, self.nc - 1, 3)] = 1
+        from dupl_tpu.data.transforms import normalize_img
+        return {"name": f"img{i}", "image": normalize_img(raw), "raw_image": raw,
+                "label": label, "cls_label": cls_label}
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = voc_config(
+        model=ModelConfig(backbone="test_tiny_patch16", compute_dtype="float32"),
+        data=DataConfig(crop_size=64),
+        cam_scales=(1.0, 0.5),
+    )
+    trainer = Trainer(cfg)
+    params = trainer.model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    return cfg, trainer, params
+
+
+def test_validator_runs(tiny_setup):
+    cfg, trainer, params = tiny_setup
+    v = Validator(cfg, trainer.model)
+    res = v.run(params, FakeSegDataset())
+    for key in ("seg_1_miou", "seg_2_miou", "cam_1_miou", "cam_aux_2_miou",
+                "cls_f1_1", "cls_f1_2"):
+        assert np.isfinite(res[key]), key
+    assert "mIoU" in res["table"]
+
+
+def test_seg_evaluator_no_crf(tiny_setup):
+    cfg, trainer, params = tiny_setup
+    ev = SegEvaluator(cfg, trainer.model, scales=(1.0, 1.5), merge="max")
+    res = ev.run(params, FakeSegDataset(), batch_size=2, crf="none")
+    assert res["branch"] in (1, 2)
+    assert 0 <= res["seg_score_1"]["miou"] <= 1
+
+
+def test_seg_evaluator_device_crf(tiny_setup, tmp_path):
+    cfg, trainer, params = tiny_setup
+    import dataclasses
+    from dupl_tpu.config import CrfConfig
+    cfg2 = dataclasses.replace(cfg, crf=CrfConfig(iter_max=2))
+    ev = SegEvaluator(cfg2, trainer.model, scales=(1.0,), merge="max")
+    res = ev.run(params, FakeSegDataset(), batch_size=2, crf="device",
+                 out_dir=str(tmp_path))
+    assert "crf_score" in res
+    import os
+    assert len(os.listdir(tmp_path / "seg_preds")) == 4
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    cfg, trainer, params = tiny_setup
+    from dupl_tpu.engine import checkpoint as ckpt
+    from dupl_tpu.data.pipeline import synthetic_batch
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(2, crop=64).items()}
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    path = str(tmp_path / "ckpts")
+    import os
+    os.makedirs(path)
+    ckpt.save_state(path, state)
+    assert ckpt.latest_step(path) == 0
+
+    template = trainer.init_state(jax.random.PRNGKey(1), batch["image"][:1])
+    restored = ckpt.restore_state(path, template)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["params"]["classifier"]["kernel"]),
+        np.asarray(state.params["params"]["classifier"]["kernel"]))
+
+    # weights-only export/load
+    wpath = str(tmp_path / "weights.npz")
+    ckpt.export_weights(wpath, state.params)
+    loaded = ckpt.load_weights(wpath, template.params)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["decoder"]["conv6"]["kernel"]),
+        np.asarray(state.params["params"]["decoder"]["conv6"]["kernel"]))

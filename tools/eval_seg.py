@@ -1,0 +1,84 @@
+"""Offline segmentation evaluation CLI (reference: tools/eval_seg_voc.py,
+tools/eval_seg_coco_ddp.py — one script; pick ``--dataset``).
+
+Multi-scale + flip inference, branch selection by raw mIoU, CRF
+post-processing (device mean-field by default; ``--crf native`` uses the
+C++ permutohedral oracle at native resolution).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["voc", "coco"], default="voc")
+    p.add_argument("--data-folder", required=True)
+    p.add_argument("--list-folder", default=None)
+    p.add_argument("--label-folder", default=None, help="COCO masks root")
+    p.add_argument("--weights", required=True, help="weights .npz from training")
+    p.add_argument("--infer-set", default=None, help="val / test / val_part")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--crf", choices=["device", "native", "none"], default="device")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--scales", type=float, nargs="+", default=None)
+    args = p.parse_args()
+
+    from dupl_tpu.config import voc_config, coco_config
+    from dupl_tpu.engine import checkpoint as ckpt
+    from dupl_tpu.engine.eval_seg import SegEvaluator
+    from dupl_tpu.engine.train import Trainer
+    from dupl_tpu.utils.logging import setup_logger
+    from dupl_tpu.utils.metrics import format_score_table
+    import jax.numpy as jnp
+
+    log = setup_logger()
+    cfg = voc_config() if args.dataset == "voc" else coco_config()
+    list_folder = args.list_folder or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "datasets", args.dataset)
+
+    if args.dataset == "voc":
+        from dupl_tpu.data.voc import VocSegDataset
+        split = args.infer_set or "val"
+        ds = VocSegDataset(args.data_folder, list_folder, split,
+                           stage="test" if split == "test" else "val",
+                           num_classes=cfg.num_classes)
+        scales = tuple(args.scales or (1.0, 1.5, 1.25))
+        merge = "max"  # eval_seg_voc.py:76-77
+    else:
+        from dupl_tpu.data.coco import CocoSegDataset
+        ds = CocoSegDataset(args.data_folder, list_folder,
+                            args.infer_set or "val_part",
+                            num_classes=cfg.num_classes,
+                            label_folder=args.label_folder)
+        scales = tuple(args.scales or (1.0, 1.25, 1.5))
+        merge = "sum"  # eval_seg_coco_ddp.py:120-121
+
+    trainer = Trainer(cfg)
+    sample = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3), jnp.float32)
+    template = trainer.model.init(jax.random.PRNGKey(0), sample)
+    params = ckpt.load_weights(args.weights, template)
+
+    ev = SegEvaluator(cfg, trainer.model, scales=scales, merge=merge)
+    res = ev.run(params, ds, batch_size=args.batch_size, crf=args.crf,
+                 out_dir=args.out_dir, max_images=args.max_images, log=log)
+
+    tables = [res["seg_score_1"], res["seg_score_2"]]
+    names = ["Seg_1", "Seg_2"]
+    if "crf_score" in res:
+        tables.append(res["crf_score"])
+        names.append(f"branch{res['branch']}+CRF")
+    print(format_score_table(tables, names, cfg.class_list))
+
+
+if __name__ == "__main__":
+    main()

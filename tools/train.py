@@ -1,0 +1,170 @@
+"""Training driver (reference entry scripts: train_final_voc.py /
+train_final_coco.py — one script here, recipe selected by ``--dataset``).
+
+Single-controller JAX: no torch.distributed.run wrapper, no LOCAL_RANK — the
+device mesh is built in-process and the batch is sharded over its ``data``
+axis; ``--model-parallel`` additionally shards the ViT over a ``model`` axis.
+
+Usage:
+  python tools/train.py --dataset voc --data-folder /path/VOC2012 \
+      --list-folder datasets/voc [--pretrained pretrained/deit_base.pth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["voc", "coco"], default="voc")
+    p.add_argument("--data-folder", required=True)
+    p.add_argument("--list-folder", default=None)
+    p.add_argument("--work-dir", default="work_dir")
+    p.add_argument("--comment", default="")
+    p.add_argument("--pretrained", default=None,
+                   help="DeiT .pth checkpoint to initialise both branches")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--samples-per-device", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in work-dir")
+    p.add_argument("--eval-iters", type=int, default=None)
+    p.add_argument("--log-iters", type=int, default=None)
+    return p.parse_args()
+
+
+def build_config(args):
+    from dupl_tpu.config import voc_config, coco_config
+
+    over = {"seed": args.seed}
+    for name in ("max_iters", "samples_per_device", "eval_iters", "log_iters"):
+        v = getattr(args, name)
+        if v is not None:
+            over[name] = v
+    cfg = voc_config(**over) if args.dataset == "voc" else coco_config(**over)
+    return cfg
+
+
+def main():
+    args = parse_args()
+    from dupl_tpu.config import TrainConfig
+    from dupl_tpu.data.pipeline import PrefetchLoader
+    from dupl_tpu.engine import checkpoint as ckpt
+    from dupl_tpu.engine.train import Trainer, loss_weights, phase_of
+    from dupl_tpu.engine.validate import Validator
+    from dupl_tpu.engine.optimizer import current_lr
+    from dupl_tpu.models.pretrained import load_deit_checkpoint, install_pretrained_encoder
+    from dupl_tpu.parallel import make_mesh, shard_batch, shard_state
+    from dupl_tpu.utils.logging import AverageMeter, cal_eta, setup_logger
+
+    cfg = build_config(args)
+    list_folder = args.list_folder or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "datasets", args.dataset)
+
+    stamp = "{0:%Y-%m-%d-%H-%M-%S}".format(datetime.datetime.now()) + args.comment
+    work_dir = os.path.join(args.work_dir, stamp)
+    ckpt_dir = os.path.join(work_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    log = setup_logger(os.path.join(work_dir, "train.log"))
+    log.info("jax %s devices %s", jax.__version__, jax.devices())
+    log.info("config: %s", json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
+
+    # data ---------------------------------------------------------------
+    if args.dataset == "voc":
+        from dupl_tpu.data.voc import VocClsDataset, VocSegDataset
+        train_ds = VocClsDataset(args.data_folder, list_folder, cfg.data.train_split,
+                                 crop_size=cfg.data.crop_size,
+                                 rescale_range=cfg.data.rescale_range,
+                                 num_classes=cfg.num_classes,
+                                 ignore_index=cfg.ignore_index)
+        val_ds = VocSegDataset(args.data_folder, list_folder, cfg.data.val_split,
+                               num_classes=cfg.num_classes)
+    else:
+        from dupl_tpu.data.coco import CocoClsDataset, CocoSegDataset
+        train_ds = CocoClsDataset(args.data_folder, list_folder, "train",
+                                  crop_size=cfg.data.crop_size,
+                                  num_classes=cfg.num_classes)
+        val_ds = CocoSegDataset(args.data_folder, list_folder, "val_part",
+                                num_classes=cfg.num_classes)
+
+    mesh = make_mesh(n_model=args.model_parallel)
+    n_data = mesh.shape["data"]
+    global_batch = cfg.samples_per_device * n_data
+    log.info("mesh %s; global batch %d", dict(mesh.shape), global_batch)
+
+    loader = PrefetchLoader(train_ds, global_batch, seed=cfg.seed,
+                            num_workers=args.num_workers)
+
+    # model/state --------------------------------------------------------
+    trainer = Trainer(cfg)
+    sample = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3), jnp.float32)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample)
+
+    if args.resume and ckpt.latest_step(ckpt_dir) is not None:
+        state = ckpt.restore_state(ckpt_dir, state)
+        log.info("resumed from step %d", int(state.step))
+    elif args.pretrained:
+        enc = load_deit_checkpoint(args.pretrained, cfg.model.depth)
+        state = state._replace(
+            params=install_pretrained_encoder(state.params, enc))
+        log.info("loaded pretrained encoder from %s", args.pretrained)
+
+    validator = Validator(cfg, trainer.model)
+    meter = AverageMeter()
+    t0 = datetime.datetime.now()
+
+    with mesh:
+        state = shard_state(mesh, state)
+        for batch in loader:
+            step = int(state.step)
+            if step >= cfg.max_iters:
+                break
+            dev_batch = shard_batch(mesh, {
+                "image": batch["image"], "cls_label": batch["cls_label"],
+                "img_box": batch["img_box"],
+            })
+            state, metrics = trainer.train_step(state, dev_batch)
+            meter.add({k: float(v) for k, v in metrics.items()})
+
+            if (step + 1) % cfg.log_iters == 0:
+                delta, eta = cal_eta(t0, step + 1, cfg.max_iters)
+                lr = float(current_lr(cfg.optim, step, cfg.max_iters))
+                log.info(
+                    "Iter: %d; Elapsed: %s; ETA: %s; LR: %.3e; phase: %s; "
+                    "cls: %.4f | ptc: %.4f | seg: %.4f | sim: %.4f | reg: %.4f",
+                    step + 1, delta, eta, lr, phase_of(cfg, step),
+                    meter.pop("cls_loss"), meter.pop("ptc_loss"),
+                    meter.pop("seg_loss"), meter.pop("sim_loss"),
+                    meter.pop("reg_loss"))
+
+            if (step + 1) % cfg.eval_iters == 0:
+                ckpt.save_state(ckpt_dir, state)
+                ckpt.export_weights(
+                    os.path.join(ckpt_dir, "weights.npz"), state.params)
+                log.info("validating at iter %d ...", step + 1)
+                res = validator.run(state.params, val_ds, log=log,
+                                    progress_every=200)
+                log.info("val cls F1: %.4f / %.4f", res["cls_f1_1"], res["cls_f1_2"])
+                log.info("\n%s", res["table"])
+
+    loader.stop()
+    log.info("done.")
+
+
+if __name__ == "__main__":
+    main()
