@@ -76,7 +76,8 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
-        x = jax.nn.dot_product_attention(q, k, v, scale=head_dim ** -0.5)
+        from dupl_tpu.ops.attention import dot_attention
+        x = dot_attention(q, k, v, scale=head_dim ** -0.5)
         x = x.reshape(b, n, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 

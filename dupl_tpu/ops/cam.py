@@ -115,34 +115,6 @@ def multi_scale_cam(
     )
 
 
-def _refine_labels_with_bkg_plane(
-    par_fn: Callable[[jax.Array, jax.Array], jax.Array],
-    images_small: jax.Array,
-    cams_small: jax.Array,
-    bkg_plane_small: jax.Array,
-    cls_with_bkg: jax.Array,
-    out_size: Tuple[int, int],
-) -> jax.Array:
-    """Shared core of the two refine drivers: stack a background plane onto the
-    CAMs, softmax over *present* classes only, run PAR, upsample, argmax.
-
-    The reference gathers each image's valid classes and softmaxes the gathered
-    stack (cam_helper.py:364-372, per-image Python loop).  Equivalent batched
-    form: keep the full (1 + C_fg) class axis and mask absent classes to -inf —
-    softmax over the masked axis matches the gathered softmax, absent channels
-    become exactly 0 and stay 0 through PAR's linear propagation, so the final
-    argmax can never select them; the argmax index then IS the label (no
-    ``valid_key`` re-indexing needed).
-    """
-    stack = jnp.concatenate([bkg_plane_small, cams_small], axis=-1)
-    neg_inf = jnp.asarray(-1e30, stack.dtype)
-    stack = jnp.where(cls_with_bkg[:, None, None, :] > 0, stack, neg_inf)
-    probs = jax.nn.softmax(stack, axis=-1)
-    refined = par_fn(images_small, probs)
-    refined = image_ops.resize_bilinear(refined, out_size)
-    return jnp.argmax(refined, axis=-1).astype(jnp.int32)
-
-
 def refine_cams_with_bkg(
     par_fn: Callable[[jax.Array, jax.Array], jax.Array],
     images: jax.Array,
@@ -166,6 +138,14 @@ def refine_cams_with_bkg(
     Two refinement passes run with a constant background plane at the high and
     low threshold; merge: label = high-pass label, except {high == 0 -> ignore;
     high == 0 and low == 0 -> background}.
+
+    The reference gathers each image's valid classes and softmaxes the
+    gathered stack in a per-image Python loop (cam_helper.py:364-372).
+    Equivalent batched form here: keep the full (1 + C_fg) class axis and mask
+    absent classes to -inf — the masked softmax matches the gathered softmax,
+    absent channels become exactly 0 and stay 0 through PAR's linear
+    propagation, so the final argmax can never select them and the argmax
+    index IS the label (no ``valid_key`` re-indexing).
     """
     b, h, w, _ = images.shape
     hs, ws = h // down_scale, w // down_scale
@@ -189,14 +169,21 @@ def refine_cams_with_bkg(
         jnp.concatenate([bkg_l, cams], axis=-1), (hs, ws)
     )
 
-    label_h = _refine_labels_with_bkg_plane(
-        par_fn, images_small, cams_h_small[..., 1:], cams_h_small[..., :1],
-        cls_with_bkg, (h, w),
-    )
-    label_l = _refine_labels_with_bkg_plane(
-        par_fn, images_small, cams_l_small[..., 1:], cams_l_small[..., :1],
-        cls_with_bkg, (h, w),
-    )
+    # Both background planes ride ONE PAR call: propagation is independent per
+    # channel, so the high- and low-threshold stacks concatenate on the class
+    # axis and the (expensive, image-only) affinity is computed once.
+    def masked_softmax(stack):
+        neg_inf = jnp.asarray(-1e30, stack.dtype)
+        stack = jnp.where(cls_with_bkg[:, None, None, :] > 0, stack, neg_inf)
+        return jax.nn.softmax(stack, axis=-1)
+
+    nclass = cams_h_small.shape[-1]
+    probs = jnp.concatenate(
+        [masked_softmax(cams_h_small), masked_softmax(cams_l_small)], axis=-1)
+    refined = par_fn(images_small, probs)
+    refined = image_ops.resize_bilinear(refined, (h, w))
+    label_h = jnp.argmax(refined[..., :nclass], axis=-1).astype(jnp.int32)
+    label_l = jnp.argmax(refined[..., nclass:], axis=-1).astype(jnp.int32)
 
     if img_box is not None:
         inside = image_ops.box_mask(img_box, h, w)

@@ -122,7 +122,8 @@ def propagate(
     return jax.lax.fori_loop(0, num_iter, body, masks)
 
 
-@functools.partial(jax.jit, static_argnames=("dilations", "num_iter", "w1", "w2"))
+@functools.partial(
+    jax.jit, static_argnames=("dilations", "num_iter", "w1", "w2", "use_pallas"))
 def par_refine(
     imgs: jax.Array,
     masks: jax.Array,
@@ -130,8 +131,19 @@ def par_refine(
     num_iter: int = 10,
     w1: float = 0.3,
     w2: float = 0.01,
+    use_pallas: bool = None,
 ) -> jax.Array:
     """Full PAR forward: affinity from ``imgs`` then ``num_iter`` propagation
-    steps on ``masks`` (both (B, H, W, ·), same spatial size)."""
+    steps on ``masks`` (both (B, H, W, ·), same spatial size).
+
+    On TPU the propagation runs as the Pallas kernel
+    (``dupl_tpu.ops.par_pallas``); elsewhere (and under ``use_pallas=False``)
+    the XLA formulation is used — both are exact to each other."""
     aff = rgb_affinity(imgs, dilations, w1, w2)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from dupl_tpu.ops.par_pallas import propagate_pallas
+        return propagate_pallas(masks.astype(jnp.float32), aff,
+                                tuple(dilations), num_iter)
     return propagate(masks.astype(jnp.float32), aff, tuple(dilations), num_iter)

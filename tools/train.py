@@ -44,6 +44,9 @@ def parse_args():
                    help="resume from the latest checkpoint in work-dir")
     p.add_argument("--eval-iters", type=int, default=None)
     p.add_argument("--log-iters", type=int, default=None)
+    p.add_argument("--profile-iters", type=int, nargs=2, default=None,
+                   metavar=("START", "STOP"),
+                   help="capture a jax.profiler trace between these steps")
     return p.parse_args()
 
 
@@ -128,29 +131,47 @@ def main():
     meter = AverageMeter()
     t0 = datetime.datetime.now()
 
+    from dupl_tpu.utils.tb import TbWriter
+    tb = TbWriter(os.path.join(work_dir, "tb"))
+    import time as _time
+    step_t0 = _time.perf_counter()
+
     with mesh:
         state = shard_state(mesh, state)
         for batch in loader:
             step = int(state.step)
             if step >= cfg.max_iters:
                 break
+            if args.profile_iters and step == args.profile_iters[0]:
+                jax.profiler.start_trace(os.path.join(work_dir, "profile"))
             dev_batch = shard_batch(mesh, {
                 "image": batch["image"], "cls_label": batch["cls_label"],
                 "img_box": batch["img_box"],
             })
             state, metrics = trainer.train_step(state, dev_batch)
             meter.add({k: float(v) for k, v in metrics.items()})
+            if args.profile_iters and step == args.profile_iters[1]:
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s/profile", work_dir)
 
             if (step + 1) % cfg.log_iters == 0:
                 delta, eta = cal_eta(t0, step + 1, cfg.max_iters)
                 lr = float(current_lr(cfg.optim, step, cfg.max_iters))
+                dt = (_time.perf_counter() - step_t0) / cfg.log_iters
+                step_t0 = _time.perf_counter()
+                losses = {k: meter.pop(k) for k in
+                          ("cls_loss", "ptc_loss", "seg_loss", "sim_loss", "reg_loss")}
                 log.info(
                     "Iter: %d; Elapsed: %s; ETA: %s; LR: %.3e; phase: %s; "
-                    "cls: %.4f | ptc: %.4f | seg: %.4f | sim: %.4f | reg: %.4f",
-                    step + 1, delta, eta, lr, phase_of(cfg, step),
-                    meter.pop("cls_loss"), meter.pop("ptc_loss"),
-                    meter.pop("seg_loss"), meter.pop("sim_loss"),
-                    meter.pop("reg_loss"))
+                    "%.2f s/it; cls: %.4f | ptc: %.4f | seg: %.4f | "
+                    "sim: %.4f | reg: %.4f",
+                    step + 1, delta, eta, lr, phase_of(cfg, step), dt,
+                    losses["cls_loss"], losses["ptc_loss"], losses["seg_loss"],
+                    losses["sim_loss"], losses["reg_loss"])
+                for k, v in losses.items():
+                    tb.scalar(f"Loss/{k}", v, step + 1)
+                tb.scalar("lr", lr, step + 1)
+                tb.scalar("perf/s_per_iter", dt, step + 1)
 
             if (step + 1) % cfg.eval_iters == 0:
                 ckpt.save_state(ckpt_dir, state)
@@ -161,8 +182,12 @@ def main():
                                     progress_every=200)
                 log.info("val cls F1: %.4f / %.4f", res["cls_f1_1"], res["cls_f1_2"])
                 log.info("\n%s", res["table"])
+                for k in ("cam_1", "cam_2", "cam_aux_1", "cam_aux_2",
+                          "seg_1", "seg_2"):
+                    tb.scalar(f"val/{k}_miou", res[f"{k}_miou"], step + 1)
 
     loader.stop()
+    tb.close()
     log.info("done.")
 
 
