@@ -38,18 +38,23 @@ def autocontrast(img255: jax.Array, _v) -> jax.Array:
 
 
 def equalize(img255: jax.Array, _v) -> jax.Array:
-    """Per-channel histogram equalization via the empirical CDF
-    (PIL.ImageOps.equalize up to LUT integer rounding)."""
-    h, w, _ = img255.shape
+    """Per-channel histogram equalization with PIL's exact LUT rule
+    (ImageOps.equalize): step = (total - h[last nonzero]) // 255,
+    lut[i] = (step//2 + cumsum_excl(h)[i]) // step; identity when step == 0."""
 
     def eq_channel(ch):
         q = jnp.clip(ch, 0, 255).astype(jnp.int32)
         hist = jnp.bincount(q.reshape(-1), length=256)
-        cdf = jnp.cumsum(hist)
-        n = cdf[-1]
-        cdf_min = jnp.min(jnp.where(hist > 0, cdf, n + 1))
-        lut = (cdf - cdf_min) * 255.0 / jnp.maximum(n - cdf_min, 1)
-        return jnp.take(jnp.clip(lut, 0, 255), q)
+        total = jnp.sum(hist)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)[:, 0]
+        last_nz = jnp.max(jnp.where(hist > 0, idx, -1))
+        h_last = hist[jnp.maximum(last_nz, 0)]
+        step = (total - h_last) // 255
+        cum_excl = jnp.cumsum(hist) - hist
+        lut = (step // 2 + cum_excl) // jnp.maximum(step, 1)
+        lut = jnp.clip(lut, 0, 255).astype(jnp.float32)
+        out = jnp.take(lut, q)
+        return jnp.where(step > 0, out, ch)
 
     return jnp.stack([eq_channel(img255[..., c]) for c in range(3)], axis=-1)
 
