@@ -53,7 +53,10 @@ def main():
         out = model.apply(params, inputs)
         seg = image_ops.resize_bilinear(out.seg[0], inputs.shape[1:3])
         probs = jax.nn.softmax(seg, axis=-1)
-        marginals = crf_ops.crf_from_config(denorm, probs, cfg.crf)
+        # fast mode: iterations on the pivot lattice, one full-res slice —
+        # validated label-equivalent to the full mode and the permutohedral
+        # oracle (tests/test_crf_fast.py)
+        marginals = crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True)
         return refined, jnp.argmax(marginals, axis=-1)
 
     def sync(x):

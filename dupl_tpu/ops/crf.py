@@ -73,7 +73,7 @@ def _pool(x: jax.Array, s: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "pos_w", "pos_xy_std", "bi_w", "bi_xy_std",
-                     "bi_rgb_std", "downsample", "row_chunk"),
+                     "bi_rgb_std", "downsample", "row_chunk", "fast"),
 )
 def mean_field_crf(
     image01: jax.Array,
@@ -87,12 +87,17 @@ def mean_field_crf(
     bi_rgb_std: float = 5.0,
     downsample: int = 8,
     row_chunk: int = 56,
+    fast: bool = False,
 ) -> jax.Array:
     """Mean-field inference for a batch.
 
     image01: (B, H, W, 3) in [0,1]; probs: (B, H, W, C) softmax probabilities.
     Returns (B, H, W, C) marginals.  H and W must be multiples of
     ``downsample`` and ``row_chunk``.
+
+    ``fast=True`` runs the iterations on the pivot lattice (Ns x Ns matmuls)
+    and slices to full resolution once at the end — ~8x fewer full-res
+    kernel applications at a small fidelity cost.
     """
     b, h, w, c = probs.shape
     s = downsample
@@ -130,6 +135,28 @@ def mean_field_crf(
 
         unary = -jnp.log(jnp.maximum(p, 1e-20))
         q = p
+
+        if fast:
+            # iterate entirely on the pivot lattice, slice once at the end
+            us = _pool(unary, s).reshape(-1, c)
+            invf_small = _pool(inv_sqrt_full.reshape(h, w, 1), s).reshape(-1)
+            ks = jnp.exp(-0.5 * jnp.maximum(
+                jnp.sum(fs * fs, -1)[:, None] + sq_small
+                - 2.0 * jnp.dot(fs, fs.T, preferred_element_type=jnp.float32), 0.0))
+
+            def small_body(_, qs):
+                m = (ks @ (qs * (invf_small * s * s)[:, None])) * invf_small[:, None]
+                return jax.nn.softmax(-us + bi_w * m, axis=-1)
+
+            qs = jax.lax.fori_loop(0, iters - 1, small_body, _pool(p, s).reshape(-1, c))
+
+            # final full-res update: bilateral slice + local position kernel
+            m_bi = cross_apply(qs * (invf_small * s * s)[:, None])
+            m_bi = (m_bi * inv_sqrt_full[:, None]).reshape(h, w, c)
+            q_up = jax.image.resize(qs.reshape(h // s, w // s, c), (h, w, c),
+                                    method="nearest")
+            m_pos = _pos_message(q_up, pos_xy_std)
+            return jax.nn.softmax(-unary + bi_w * m_bi + pos_w * m_pos, axis=-1)
 
         def body(_, q):
             # bilateral message: D^-1/2 K D^-1/2 q, pivot-approximated as
