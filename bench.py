@@ -29,7 +29,7 @@ def main():
     trainer = Trainer(cfg)
     model = trainer.model
 
-    batch_size = 8
+    batch_size = 16
     batch = synthetic_batch(batch_size, crop=448)
     inputs = jnp.asarray(batch["image"])
     cls_label = jnp.asarray(batch["cls_label"])
