@@ -38,28 +38,33 @@ from dupl_tpu.utils import metrics as metrics_utils
 class SegEvaluator:
     def __init__(self, cfg: TrainConfig, model: DualStudent,
                  scales: Sequence[float] = (1.0, 1.5, 1.25),
-                 merge: str = "max"):
+                 merge: str = "max", input_mode: str = "fixed"):
+        """``input_mode``: 'fixed' resizes every image to the crop size (one
+        compile, batched — the reference's COCO eval); 'native' feeds each
+        image at its original resolution like the reference's VOC eval
+        (eval_seg_voc.py:56-60) — one compile per distinct shape, cached."""
         self.cfg = cfg
         self.model = model
         self.scales = tuple(scales)
         self.merge = merge
+        self.input_mode = input_mode
         self._msc_fn = None
         self._crf_fn = None
 
     def _device_msc(self):
         if self._msc_fn is None:
-            base = self.cfg.data.crop_size
-
             @jax.jit
             def fn(params, x):
-                b = x.shape[0]
+                # output resolution = input resolution; under 'native' mode jax
+                # retraces (and caches) per distinct image shape
+                b, hh, ww, _ = x.shape
                 merged = None
                 for sc in self.scales:
-                    size = (int(base * sc), int(base * sc))
-                    xs = x if size == (base, base) else image_ops.resize_bilinear(x, size)
+                    size = (int(hh * sc), int(ww * sc))
+                    xs = x if sc == 1.0 else image_ops.resize_bilinear(x, size)
                     both = jnp.concatenate([xs, xs[:, :, ::-1, :]], axis=0)
                     out = self.model.apply(params, both)  # seg: (2, 2B, h, w, C)
-                    seg = image_ops.resize_bilinear(out.seg, (base, base), batch_dims=2)
+                    seg = image_ops.resize_bilinear(out.seg, (hh, ww), batch_dims=2)
                     seg = seg[:, :b] + seg[:, b:, :, ::-1, :]
                     if merged is None:
                         merged = seg
@@ -67,7 +72,7 @@ class SegEvaluator:
                         merged = jnp.maximum(merged, seg)
                     else:
                         merged = merged + seg
-                return merged  # (2, B, base, base, C)
+                return merged  # (2, B, hh, ww, C)
 
             self._msc_fn = fn
         return self._msc_fn
@@ -95,14 +100,20 @@ class SegEvaluator:
         crf_hist = np.zeros((nc, nc), np.float64)
         records: List[Dict] = []
 
+        if self.input_mode == "native":
+            batch_size = 1  # one compile per distinct shape, images unbatched
         for lo in range(0, len(indices), batch_size):
             chunk = indices[lo:lo + batch_size]
             samples = [dataset[i] for i in chunk]
-            imgs = jnp.stack([
-                image_ops.resize_bilinear(jnp.asarray(s["image"])[None], (base, base))[0]
-                for s in samples
-            ])
-            logits = np.asarray(fn(params, imgs), np.float32)  # (2, B, base, base, C)
+            if self.input_mode == "native":
+                imgs = jnp.asarray(samples[0]["image"])[None]
+            else:
+                imgs = jnp.stack([
+                    image_ops.resize_bilinear(
+                        jnp.asarray(s["image"])[None], (base, base))[0]
+                    for s in samples
+                ])
+            logits = np.asarray(fn(params, imgs), np.float32)  # (2, B, h, w, C)
             for bi, s in enumerate(samples):
                 size = s["label"].shape
                 for k in (1, 2):
@@ -135,17 +146,34 @@ class SegEvaluator:
         if crf == "device":
             for lo in range(0, len(records), batch_size):
                 chunk = records[lo:lo + batch_size]
-                probs = jax.nn.softmax(
-                    jnp.stack([jnp.asarray(r["logits"][best - 1]) for r in chunk]), axis=-1)
-                imgs01 = jnp.stack([
-                    image_ops.resize_bilinear(
-                        jnp.asarray(r["raw_image"], jnp.float32)[None] / 255.0,
-                        (base, base))[0]
-                    for r in chunk
-                ])
+                if self.input_mode == "native":
+                    # pad each image to a multiple of 8 so the pivot pooling
+                    # divides evenly; crop the marginals back after
+                    r = chunk[0]
+                    lh, lw = r["logits"].shape[1:3]
+                    ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
+                    logit = np.pad(r["logits"][best - 1],
+                                   ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
+                    probs = jax.nn.softmax(jnp.asarray(logit)[None], axis=-1)
+                    img01 = np.pad(r["raw_image"].astype(np.float32) / 255.0,
+                                   ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
+                    imgs01 = jnp.asarray(img01)[None]
+                else:
+                    probs = jax.nn.softmax(
+                        jnp.stack([jnp.asarray(r["logits"][best - 1]) for r in chunk]),
+                        axis=-1)
+                    imgs01 = jnp.stack([
+                        image_ops.resize_bilinear(
+                            jnp.asarray(r["raw_image"], jnp.float32)[None] / 255.0,
+                            (base, base))[0]
+                        for r in chunk
+                    ])
                 refined = np.asarray(crf_ops.crf_from_config(imgs01, probs, self.cfg.crf))
                 for bi, r in enumerate(chunk):
-                    pred = _resize_logits_host(refined[bi], r["label"].shape).argmax(-1)
+                    ref_i = refined[bi]
+                    if self.input_mode == "native":
+                        ref_i = ref_i[:r["logits"].shape[1], :r["logits"].shape[2]]
+                    pred = _resize_logits_host(ref_i, r["label"].shape).argmax(-1)
                     add_hist(crf_hist, r["label"], pred)
                     self._write_pred(out_dir, r["name"], pred)
         else:  # native permutohedral at native resolution (reference-exact)

@@ -78,6 +78,20 @@ def test_seg_evaluator_device_crf(tiny_setup, tmp_path):
     assert len(os.listdir(tmp_path / "seg_preds")) == 4
 
 
+def test_seg_evaluator_native_mode(tiny_setup, tmp_path):
+    """Native-resolution eval: per-shape compiles, device CRF with /8 padding."""
+    cfg, trainer, params = tiny_setup
+    import dataclasses
+    from dupl_tpu.config import CrfConfig
+    cfg2 = dataclasses.replace(cfg, crf=CrfConfig(iter_max=2))
+    ev = SegEvaluator(cfg2, trainer.model, scales=(1.0,), merge="max",
+                      input_mode="native")
+    res = ev.run(params, FakeSegDataset(n=3), batch_size=2, crf="device",
+                 out_dir=str(tmp_path))
+    assert "crf_score" in res
+    assert res["branch"] in (1, 2)
+
+
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     cfg, trainer, params = tiny_setup
     from dupl_tpu.engine import checkpoint as ckpt

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--infer-set", default=None, help="val / test / val_part")
     p.add_argument("--out-dir", default=None)
     p.add_argument("--crf", choices=["device", "native", "none"], default="device")
+    p.add_argument("--input-mode", choices=["fixed", "native"], default="fixed",
+                   help="'native' evaluates at original image resolution "
+                        "(reference VOC eval semantics; compiles per shape)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--scales", type=float, nargs="+", default=None)
@@ -68,7 +71,8 @@ def main():
     template = trainer.model.init(jax.random.PRNGKey(0), sample)
     params = ckpt.load_weights(args.weights, template)
 
-    ev = SegEvaluator(cfg, trainer.model, scales=scales, merge=merge)
+    ev = SegEvaluator(cfg, trainer.model, scales=scales, merge=merge,
+                      input_mode=args.input_mode)
     res = ev.run(params, ds, batch_size=args.batch_size, crf=args.crf,
                  out_dir=args.out_dir, max_images=args.max_images, log=log)
 
