@@ -42,15 +42,27 @@ def main():
         """The full inference pipeline of BASELINE.json: multi-scale CAM for
         both branches, PAR refinement into pseudo-labels, and mean-field CRF
         over the seg posteriors — everything the reference splits between GPU
-        inference and hours of host CPU (pydensecrf), in one device program."""
+        inference and hours of host CPU (pydensecrf), in one device program.
+        The scale-1.0 encoder pass is shared between CAM fusion and the seg
+        head (Student.forward_with_cams)."""
+        import jax as _jax
         import dupl_tpu.ops.image as image_ops
+        from dupl_tpu.ops import cam as cam_ops
         from dupl_tpu.ops import crf as crf_ops
-        cams, _ = trainer._multi_scale_cams(params, inputs)
+        from dupl_tpu.models.network import Student
+
+        def one_branch(pb):
+            return cam_ops.multi_scale_cam_with_outputs(
+                lambda x: model.module.apply(pb, x, method=Student.forward_with_cams),
+                lambda x: model.module.apply(pb, x, method=Student.cam_only),
+                inputs, cfg.cam_scales,
+            )
+
+        cams, _, out = _jax.vmap(one_branch)(params)
         denorm = image_ops.denormalize(inputs)
         refined = trainer._refine(
             cams, denorm, cls_label, img_box, high_thre=cfg.high_thre,
         )
-        out = model.apply(params, inputs)
         seg = image_ops.resize_bilinear(out.seg[0], inputs.shape[1:3])
         probs = jax.nn.softmax(seg, axis=-1)
         # fast mode: iterations on the pivot lattice, one full-res slice —

@@ -197,6 +197,18 @@ class Trainer:
         )
         return cls_loss, ptc_loss, sim_loss
 
+    @staticmethod
+    def _train_f1(cls_logits, cls_label):
+        """Device-side train-time multilabel F1 of branch 1 (the reference
+        logs sklearn F1 of sample 0 each step, train_final_voc.py:458-459;
+        here: micro-F1 over the whole batch, no host sync)."""
+        pred = cls_logits > 0
+        true = cls_label > 0
+        tp = jnp.sum(pred & true)
+        fp = jnp.sum(pred & ~true)
+        fn = jnp.sum(~pred & true)
+        return 2 * tp / jnp.maximum(2 * tp + fp + fn, 1)
+
     def _apply_updates(self, state: TrainState, grads) -> TrainState:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -218,7 +230,8 @@ class Trainer:
             total = weights[0] * cls_l + weights[1] * ptc_l + weights[3] * sim_l
             return total, {"cls_loss": cls_l, "ptc_loss": ptc_l,
                            "sim_loss": sim_l, "seg_loss": jnp.float32(0),
-                           "reg_loss": jnp.float32(0)}
+                           "reg_loss": jnp.float32(0),
+                           "cls_score": self._train_f1(out.cls[0], cls_label)}
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         metrics["loss"] = total
@@ -260,7 +273,8 @@ class Trainer:
                      + weights[2] * seg_l + weights[3] * sim_l)
             return total, {"cls_loss": cls_l, "ptc_loss": ptc_l,
                            "seg_loss": seg_l, "sim_loss": sim_l,
-                           "reg_loss": jnp.float32(0)}
+                           "reg_loss": jnp.float32(0),
+                           "cls_score": self._train_f1(out.cls[0], cls_label)}
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         metrics["loss"] = total
@@ -335,7 +349,8 @@ class Trainer:
             total = (weights[0] * cls_l + weights[1] * ptc_l + weights[2] * seg_l
                      + weights[3] * sim_l + weights[4] * reg_l)
             return total, {"cls_loss": cls_l, "ptc_loss": ptc_l,
-                           "seg_loss": seg_l, "sim_loss": sim_l, "reg_loss": reg_l}
+                           "seg_loss": seg_l, "sim_loss": sim_l, "reg_loss": reg_l,
+                           "cls_score": self._train_f1(out.cls[0], cls_label)}
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         metrics["loss"] = total

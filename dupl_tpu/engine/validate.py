@@ -67,15 +67,19 @@ class Validator:
 
             @jax.jit
             def fn(params, x):
-                out = self.model.apply(params, x)
-
+                # fused: the scale-1.0 CAM pass shares the encoder with the
+                # cls/seg forward (Student.forward_with_cams)
                 def one_branch(pb):
-                    return cam_ops.multi_scale_cam(
-                        lambda xx: self.model.module.apply(pb, xx, method=Student.cam_only),
+                    return cam_ops.multi_scale_cam_with_outputs(
+                        lambda xx: self.model.module.apply(
+                            pb, xx, method=Student.forward_with_cams),
+                        lambda xx: self.model.module.apply(
+                            pb, xx, method=Student.cam_only),
                         x, cfg.cam_scales,
                     )
 
-                cams, cams_aux = jax.vmap(one_branch)(jax.lax.stop_gradient(params))
+                cams, cams_aux, out = jax.vmap(one_branch)(
+                    jax.lax.stop_gradient(params))
                 return out.cls, out.seg, cams, cams_aux
 
             self._fn = fn

@@ -78,6 +78,19 @@ class Student(nn.Module):
         cam_aux = self.aux_classifier(aux)
         return jax.lax.stop_gradient(cam), jax.lax.stop_gradient(cam_aux)
 
+    def forward_with_cams(self, x: jax.Array):
+        """Fused inference forward: one encoder pass yields the full head
+        outputs AND the per-pixel CAMs (identical to running ``__call__`` and
+        ``cam_only`` separately — they share features exactly).  Used by the
+        inference pipeline so the scale-1.0 CAM pass is free."""
+        fmap, aux = self._features(x)
+        seg = self.decoder(fmap)
+        cls = self.classifier(jnp.max(fmap, axis=(1, 2)))
+        cls_aux = self.aux_classifier(jnp.max(aux, axis=(1, 2)))
+        cam = jax.lax.stop_gradient(self.classifier(fmap))
+        cam_aux = jax.lax.stop_gradient(self.aux_classifier(aux))
+        return StudentOut(cls, seg, fmap, cls_aux), cam, cam_aux
+
 
 class DualStudent:
     """Two independent students as one branch-stacked parameter pytree.

@@ -115,6 +115,49 @@ def multi_scale_cam(
     )
 
 
+def multi_scale_cam_with_outputs(
+    full_fn,
+    cam_fn,
+    inputs: jax.Array,
+    scales: Sequence[float],
+):
+    """Like :func:`multi_scale_cam`, but the scale-1.0 pass runs the *full*
+    student forward (``Student.forward_with_cams``) so inference pipelines get
+    cls/seg/fmap for free from the encoder pass the CAM fusion needs anyway.
+
+    Returns (cams, cams_aux, out) where ``out`` is the StudentOut of the
+    unflipped scale-1.0 batch.
+    """
+    b, h, w, _ = inputs.shape
+    out_keep = None
+
+    def merge(cam, cam_aux):
+        cam = image_ops.resize_bilinear(cam, (h, w))
+        cam_aux = image_ops.resize_bilinear(cam_aux, (h, w))
+        cam = jnp.maximum(cam[:b], cam[b:, :, ::-1, :])
+        cam_aux = jnp.maximum(cam_aux[:b], cam_aux[b:, :, ::-1, :])
+        return jax.nn.relu(cam), jax.nn.relu(cam_aux)
+
+    cam_sum = aux_sum = None
+    for s in scales:
+        x = inputs if s == 1.0 else image_ops.resize_bilinear(inputs, (int(s * h), int(s * w)))
+        both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+        if s == 1.0:
+            out, cam, cam_aux = full_fn(both)
+            out_keep = jax.tree.map(lambda a: a[:b], out)
+        else:
+            cam, cam_aux = cam_fn(both)
+        cam, cam_aux = merge(cam, cam_aux)
+        cam_sum = cam if cam_sum is None else cam_sum + cam
+        aux_sum = cam_aux if aux_sum is None else aux_sum + cam_aux
+
+    return (
+        image_ops.spatial_minmax_norm(cam_sum),
+        image_ops.spatial_minmax_norm(aux_sum),
+        out_keep,
+    )
+
+
 def refine_cams_with_bkg(
     par_fn: Callable[[jax.Array, jax.Array], jax.Array],
     images: jax.Array,

@@ -47,6 +47,9 @@ def parse_args():
     p.add_argument("--profile-iters", type=int, nargs=2, default=None,
                    metavar=("START", "STOP"),
                    help="capture a jax.profiler trace between these steps")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed for multi-host meshes "
+                        "(coordinator from env, e.g. under a TPU pod slice)")
     return p.parse_args()
 
 
@@ -73,6 +76,12 @@ def main():
     from dupl_tpu.models.pretrained import load_deit_checkpoint, install_pretrained_encoder
     from dupl_tpu.parallel import make_mesh, shard_batch, shard_state
     from dupl_tpu.utils.logging import AverageMeter, cal_eta, setup_logger
+
+    if args.multihost:
+        # multi-host: every process sees its local devices; the mesh below is
+        # built over jax.devices() (global) and batches shard by process via
+        # the loader's shard/num_shards split
+        jax.distributed.initialize()
 
     cfg = build_config(args)
     list_folder = args.list_folder or os.path.join(
@@ -110,8 +119,11 @@ def main():
     global_batch = cfg.samples_per_device * n_data
     log.info("mesh %s; global batch %d", dict(mesh.shape), global_batch)
 
-    loader = PrefetchLoader(train_ds, global_batch, seed=cfg.seed,
-                            num_workers=args.num_workers)
+    proc_idx = jax.process_index() if args.multihost else 0
+    n_proc = jax.process_count() if args.multihost else 1
+    loader = PrefetchLoader(train_ds, global_batch // n_proc, seed=cfg.seed,
+                            num_workers=args.num_workers,
+                            shard=proc_idx, num_shards=n_proc)
 
     # model/state --------------------------------------------------------
     trainer = Trainer(cfg)
