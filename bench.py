@@ -25,7 +25,7 @@ def main():
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer
 
-    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16"))
+    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16", gelu_approximate=True))
     trainer = Trainer(cfg)
     model = trainer.model
 

@@ -47,6 +47,10 @@ class ModelConfig:
     # Compute dtype for matmul-heavy paths.  Params stay float32; bfloat16 compute
     # keeps the MXU fed at full rate on TPU.
     compute_dtype: str = "bfloat16"
+    # tanh-approximate GELU is ~5x cheaper on the VPU with ~1e-3 deviation;
+    # training defaults to the exact erf form the backbone was trained with
+    # (torch nn.GELU default); inference pipelines may enable the approximation.
+    gelu_approximate: bool = False
 
     @property
     def num_fg(self) -> int:

@@ -44,7 +44,9 @@ class Student(nn.Module):
     def setup(self):
         spec = VIT_CONFIGS[self.cfg.backbone]
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        self.encoder = ViT(spec, aux_layer=self.cfg.aux_layer, dtype=dtype, name="encoder")
+        self.encoder = ViT(spec, aux_layer=self.cfg.aux_layer, dtype=dtype,
+                           gelu_approximate=self.cfg.gelu_approximate,
+                           name="encoder")
         self.decoder = LargeFOV(
             self.cfg.num_classes, self.cfg.decoder_dim, self.cfg.decoder_dilation,
             dtype=dtype, name="decoder",

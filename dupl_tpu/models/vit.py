@@ -55,11 +55,12 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: Dtype = jnp.bfloat16
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -87,6 +88,7 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float
     dtype: Dtype = jnp.bfloat16
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -95,7 +97,8 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, self.dtype, name="attn")(y).astype(x.dtype)
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y).astype(x.dtype)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                    self.gelu_approximate, name="mlp")(y).astype(x.dtype)
         return x
 
 
@@ -103,6 +106,7 @@ class ViT(nn.Module):
     spec: ViTSpec
     aux_layer: int = -3
     dtype: Dtype = jnp.bfloat16
+    gelu_approximate: bool = False
 
     def setup(self):
         s = self.spec
@@ -119,7 +123,8 @@ class ViT(nn.Module):
             dtype=self.dtype, name="patch_embed",
         )
         self.blocks = [
-            Block(s.embed_dim, s.num_heads, s.mlp_ratio, self.dtype, name=f"block{i}")
+            Block(s.embed_dim, s.num_heads, s.mlp_ratio, self.dtype,
+                  self.gelu_approximate, name=f"block{i}")
             for i in range(s.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
