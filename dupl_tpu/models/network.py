@@ -17,7 +17,7 @@ what it needs):
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ right call at this size (SURVEY.md §5.7), no long-context machinery needed.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

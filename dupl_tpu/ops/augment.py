@@ -8,16 +8,14 @@ host serialisation point.  Here the same ops are batched jnp array code inside
 the jitted train step.
 
 Ops work on [0,1] float images (scaled to [0,255] internally to keep PIL's
-constants).  Deliberate approximations vs PIL (documented, statistically
-equivalent augmentation noise): no uint8 quantisation between ops, and
-Equalize uses the continuous CDF map rather than PIL's integer LUT.
+constants).  The only deliberate deviation from PIL is skipping the uint8
+quantisation between chained ops (statistically equivalent augmentation
+noise); per-op parity is tested against PIL oracles (tests/test_augment.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

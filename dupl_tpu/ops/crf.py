@@ -24,8 +24,6 @@ the oracle for validation is the native permutohedral implementation
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -5,8 +5,6 @@ no-op so training never depends on it."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
