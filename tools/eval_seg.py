@@ -33,6 +33,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--scales", type=float, nargs="+", default=None)
+    p.add_argument("--shard", type=int, default=0,
+                   help="strided dataset shard (reference DDP eval split, "
+                        "eval_seg_coco_ddp.py:240-242)")
+    p.add_argument("--num-shards", type=int, default=1)
     args = p.parse_args()
 
     from dupl_tpu.config import voc_config, coco_config
@@ -74,7 +78,8 @@ def main():
     ev = SegEvaluator(cfg, trainer.model, scales=scales, merge=merge,
                       input_mode=args.input_mode)
     res = ev.run(params, ds, batch_size=args.batch_size, crf=args.crf,
-                 out_dir=args.out_dir, max_images=args.max_images, log=log)
+                 out_dir=args.out_dir, max_images=args.max_images, log=log,
+                 shard=args.shard, num_shards=args.num_shards)
 
     tables = [res["seg_score_1"], res["seg_score_2"]]
     names = ["Seg_1", "Seg_2"]
