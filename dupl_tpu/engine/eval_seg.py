@@ -96,36 +96,36 @@ class SegEvaluator:
         if max_images is not None:
             indices = indices[:max_images]
 
-        hists = {1: np.zeros((nc, nc), np.float64), 2: np.zeros((nc, nc), np.float64)}
-        crf_hist = np.zeros((nc, nc), np.float64)
-        records: List[Dict] = []
-
         if self.input_mode == "native":
             batch_size = 1  # one compile per distinct shape, images unbatched
-        for lo in range(0, len(indices), batch_size):
-            chunk = indices[lo:lo + batch_size]
-            samples = [dataset[i] for i in chunk]
-            if self.input_mode == "native":
-                imgs = jnp.asarray(samples[0]["image"])[None]
-            else:
-                imgs = jnp.stack([
-                    image_ops.resize_bilinear(
-                        jnp.asarray(s["image"])[None], (base, base))[0]
-                    for s in samples
-                ])
+
+        def batches():
+            for lo in range(0, len(indices), batch_size):
+                chunk = indices[lo:lo + batch_size]
+                samples = [dataset[i] for i in chunk]
+                if self.input_mode == "native":
+                    imgs = jnp.asarray(samples[0]["image"])[None]
+                else:
+                    imgs = jnp.stack([
+                        image_ops.resize_bilinear(
+                            jnp.asarray(s["image"])[None], (base, base))[0]
+                        for s in samples
+                    ])
+                yield lo, samples, imgs
+
+        # ---- pass 1: raw mIoU per branch (nothing stored — streaming; the
+        # reference instead spools every msc logit to .npy files,
+        # eval_seg_voc.py:83-84) ------------------------------------------------
+        hists = {1: np.zeros((nc, nc), np.float64), 2: np.zeros((nc, nc), np.float64)}
+        for lo, samples, imgs in batches():
             logits = np.asarray(fn(params, imgs), np.float32)  # (2, B, h, w, C)
             for bi, s in enumerate(samples):
                 size = s["label"].shape
                 for k in (1, 2):
                     up = _resize_logits_host(logits[k - 1, bi], size)
                     add_hist(hists[k], s["label"], up.argmax(-1))
-                records.append({
-                    "name": s["name"], "label": s["label"],
-                    "raw_image": s["raw_image"],
-                    "logits": logits[:, bi],
-                })
             if log and (lo // batch_size) % 10 == 0:
-                log.info("eval %d/%d", lo + len(chunk), len(indices))
+                log.info("eval %d/%d", lo + len(samples), len(indices))
 
         scores = {k: metrics_utils.scores_from_hist(hists[k]) for k in (1, 2)}
         best = 1 if scores[1]["miou"] >= scores[2]["miou"] else 2
@@ -143,58 +143,60 @@ class SegEvaluator:
             os.makedirs(os.path.join(out_dir, "seg_preds"), exist_ok=True)
             os.makedirs(os.path.join(out_dir, "seg_preds_rgb"), exist_ok=True)
 
-        if crf == "device":
-            for lo in range(0, len(records), batch_size):
-                chunk = records[lo:lo + batch_size]
-                if self.input_mode == "native":
-                    # pad each image to a multiple of 8 so the pivot pooling
-                    # divides evenly; crop the marginals back after
-                    r = chunk[0]
-                    lh, lw = r["logits"].shape[1:3]
-                    ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
-                    logit = np.pad(r["logits"][best - 1],
-                                   ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
-                    probs = jax.nn.softmax(jnp.asarray(logit)[None], axis=-1)
-                    img01 = np.pad(r["raw_image"].astype(np.float32) / 255.0,
-                                   ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
-                    imgs01 = jnp.asarray(img01)[None]
-                else:
-                    probs = jax.nn.softmax(
-                        jnp.stack([jnp.asarray(r["logits"][best - 1]) for r in chunk]),
-                        axis=-1)
-                    imgs01 = jnp.stack([
-                        image_ops.resize_bilinear(
-                            jnp.asarray(r["raw_image"], jnp.float32)[None] / 255.0,
-                            (base, base))[0]
-                        for r in chunk
-                    ])
-                refined = np.asarray(crf_ops.crf_from_config(imgs01, probs, self.cfg.crf))
-                for bi, r in enumerate(chunk):
-                    ref_i = refined[bi]
-                    if self.input_mode == "native":
-                        ref_i = ref_i[:r["logits"].shape[1], :r["logits"].shape[2]]
-                    pred = _resize_logits_host(ref_i, r["label"].shape).argmax(-1)
-                    add_hist(crf_hist, r["label"], pred)
-                    self._write_pred(out_dir, r["name"], pred)
-        else:  # native permutohedral at native resolution (reference-exact)
+        # ---- pass 2: recompute the chosen branch's logits and CRF each batch
+        # immediately (bounded memory at any dataset size) ---------------------
+        crf_hist = np.zeros((nc, nc), np.float64)
+        if crf == "native":
+            from concurrent.futures import ThreadPoolExecutor
             from dupl_tpu.ops.crf_native import DenseCRF
             post = DenseCRF.from_config(self.cfg.crf)
-            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max(1, int(os.cpu_count() * 0.8)))
 
-            def job(r):
-                size = r["label"].shape
-                up = _resize_logits_host(r["logits"][best - 1], size)
-                prob = np.exp(up - up.max(-1, keepdims=True))
-                prob /= prob.sum(-1, keepdims=True)
-                out = post(r["raw_image"], prob.transpose(2, 0, 1))
-                pred = out.argmax(0)
-                return r, pred
+        for lo, samples, imgs in batches():
+            logits = np.asarray(fn(params, imgs), np.float32)[best - 1]  # (B,h,w,C)
+            if crf == "device":
+                if self.input_mode == "native":
+                    lh, lw = logits.shape[1:3]
+                    ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
+                    lg = np.pad(logits, ((0, 0), (0, ph - lh), (0, pw - lw), (0, 0)),
+                                "edge")
+                    probs = jax.nn.softmax(jnp.asarray(lg), axis=-1)
+                    img01 = np.pad(
+                        samples[0]["raw_image"].astype(np.float32) / 255.0,
+                        ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
+                    imgs01 = jnp.asarray(img01)[None]
+                else:
+                    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+                    imgs01 = jnp.stack([
+                        image_ops.resize_bilinear(
+                            jnp.asarray(s["raw_image"], jnp.float32)[None] / 255.0,
+                            (base, base))[0]
+                        for s in samples
+                    ])
+                refined = np.asarray(
+                    crf_ops.crf_from_config(imgs01, probs, self.cfg.crf))
+                for bi, s in enumerate(samples):
+                    ref_i = refined[bi]
+                    if self.input_mode == "native":
+                        ref_i = ref_i[:logits.shape[1], :logits.shape[2]]
+                    pred = _resize_logits_host(ref_i, s["label"].shape).argmax(-1)
+                    add_hist(crf_hist, s["label"], pred)
+                    self._write_pred(out_dir, s["name"], pred)
+            else:  # native permutohedral at native res (reference-exact)
+                def job(arg):
+                    s, lg = arg
+                    up = _resize_logits_host(lg, s["label"].shape)
+                    prob = np.exp(up - up.max(-1, keepdims=True))
+                    prob /= prob.sum(-1, keepdims=True)
+                    out = post(s["raw_image"], prob.transpose(2, 0, 1))
+                    return s, out.argmax(0)
 
-            with ThreadPoolExecutor(max(1, int(os.cpu_count() * 0.8))) as ex:
-                for r, pred in ex.map(job, records):
-                    add_hist(crf_hist, r["label"], pred)
-                    self._write_pred(out_dir, r["name"], pred)
+                for s, pred in pool.map(job, zip(samples, logits)):
+                    add_hist(crf_hist, s["label"], pred)
+                    self._write_pred(out_dir, s["name"], pred)
 
+        if crf == "native":
+            pool.shutdown()
         result["crf_score"] = metrics_utils.scores_from_hist(crf_hist)
         if log:
             log.info("CRF mIoU %.3f", 100 * result["crf_score"]["miou"])
