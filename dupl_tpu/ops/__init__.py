@@ -1,1 +1,4 @@
-from dupl_tpu.ops import cam, gmm, image, losses, par, schedule  # noqa: F401
+from dupl_tpu.ops import (  # noqa: F401
+    attention, augment, cam, crf, crf_native, gmm, image, losses, par,
+    par_pallas, schedule,
+)

@@ -50,18 +50,29 @@ def parse_args():
     p.add_argument("--multihost", action="store_true",
                    help="initialise jax.distributed for multi-host meshes "
                         "(coordinator from env, e.g. under a TPU pod slice)")
+    p.add_argument("--backbone", default=None,
+                   help="override backbone (e.g. test_tiny_patch16 for smoke)")
+    p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--cam-iters", type=int, default=None)
+    p.add_argument("--gmm-iters", type=int, default=None)
     return p.parse_args()
 
 
 def build_config(args):
+    import dataclasses as dc
     from dupl_tpu.config import voc_config, coco_config
 
     over = {"seed": args.seed}
-    for name in ("max_iters", "samples_per_device", "eval_iters", "log_iters"):
+    for name in ("max_iters", "samples_per_device", "eval_iters", "log_iters",
+                 "cam_iters", "gmm_iters"):
         v = getattr(args, name)
         if v is not None:
             over[name] = v
     cfg = voc_config(**over) if args.dataset == "voc" else coco_config(**over)
+    if args.backbone:
+        cfg = dc.replace(cfg, model=dc.replace(cfg.model, backbone=args.backbone))
+    if args.crop_size:
+        cfg = dc.replace(cfg, data=dc.replace(cfg.data, crop_size=args.crop_size))
     return cfg
 
 
