@@ -51,6 +51,9 @@ class ModelConfig:
     # training defaults to the exact erf form the backbone was trained with
     # (torch nn.GELU default); inference pipelines may enable the approximation.
     gelu_approximate: bool = False
+    # dynamic-int8 GEMMs (ops/quant.py) for inference pipelines only; the MXU
+    # runs int8 at ~1.5x bf16.  Never enabled for training.
+    quantized_inference: bool = False
 
     @property
     def num_fg(self) -> int:

@@ -46,6 +46,7 @@ class Student(nn.Module):
         dtype = jnp.dtype(self.cfg.compute_dtype)
         self.encoder = ViT(spec, aux_layer=self.cfg.aux_layer, dtype=dtype,
                            gelu_approximate=self.cfg.gelu_approximate,
+                           quant=self.cfg.quantized_inference,
                            name="encoder")
         self.decoder = LargeFOV(
             self.cfg.num_classes, self.cfg.decoder_dim, self.cfg.decoder_dilation,

@@ -51,17 +51,43 @@ VIT_CONFIGS = {
 }
 
 
+class QDense(nn.Module):
+    """Dense with the same parameter tree as ``nn.Dense`` (checkpoints
+    interoperate) and an optional dynamic-int8 path
+    (``dupl_tpu.ops.quant.quantized_matmul``) for inference pipelines."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features))
+        if self.quant:
+            from dupl_tpu.ops.quant import quantized_matmul
+            y = quantized_matmul(x, kernel)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: Dtype = jnp.bfloat16
     gelu_approximate: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = QDense(self.hidden, dtype=self.dtype, quant=self.quant, name="fc1")(x)
         x = nn.gelu(x, approximate=self.gelu_approximate)
-        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = QDense(self.out, dtype=self.dtype, quant=self.quant, name="fc2")(x)
         return x
 
 
@@ -69,18 +95,20 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = QDense(self.dim * 3, dtype=self.dtype, quant=self.quant, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
         from dupl_tpu.ops.attention import dot_attention
-        x = dot_attention(q, k, v, scale=head_dim ** -0.5)
+        x = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
+                          v.astype(self.dtype), scale=head_dim ** -0.5)
         x = x.reshape(b, n, c)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
+        return QDense(self.dim, dtype=self.dtype, quant=self.quant, name="proj")(x)
 
 
 class Block(nn.Module):
@@ -89,16 +117,19 @@ class Block(nn.Module):
     mlp_ratio: float
     dtype: Dtype = jnp.bfloat16
     gelu_approximate: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         # Pre-LN residual blocks (vit.py:156-160). LayerNorm in float32 for
         # stability; matmul inputs cast to compute dtype inside Dense.
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, self.dtype, name="attn")(y).astype(x.dtype)
+        x = x + Attention(self.dim, self.num_heads, self.dtype,
+                          quant=self.quant, name="attn")(y).astype(x.dtype)
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-                    self.gelu_approximate, name="mlp")(y).astype(x.dtype)
+                    self.gelu_approximate, quant=self.quant,
+                    name="mlp")(y).astype(x.dtype)
         return x
 
 
@@ -107,6 +138,7 @@ class ViT(nn.Module):
     aux_layer: int = -3
     dtype: Dtype = jnp.bfloat16
     gelu_approximate: bool = False
+    quant: bool = False
 
     def setup(self):
         s = self.spec
@@ -124,7 +156,7 @@ class ViT(nn.Module):
         )
         self.blocks = [
             Block(s.embed_dim, s.num_heads, s.mlp_ratio, self.dtype,
-                  self.gelu_approximate, name=f"block{i}")
+                  self.gelu_approximate, quant=self.quant, name=f"block{i}")
             for i in range(s.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
