@@ -78,10 +78,9 @@ def build_config(args):
 
 def main():
     args = parse_args()
-    from dupl_tpu.config import TrainConfig
     from dupl_tpu.data.pipeline import PrefetchLoader
     from dupl_tpu.engine import checkpoint as ckpt
-    from dupl_tpu.engine.train import Trainer, loss_weights, phase_of
+    from dupl_tpu.engine.train import Trainer, phase_of
     from dupl_tpu.engine.validate import Validator
     from dupl_tpu.engine.optimizer import current_lr
     from dupl_tpu.models.pretrained import load_deit_checkpoint, install_pretrained_encoder
@@ -99,8 +98,12 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "datasets", args.dataset)
 
-    stamp = "{0:%Y-%m-%d-%H-%M-%S}".format(datetime.datetime.now()) + args.comment
-    work_dir = os.path.join(args.work_dir, stamp)
+    if args.resume:
+        # resume in-place: --work-dir points at the previous run directory
+        work_dir = args.work_dir
+    else:
+        stamp = "{0:%Y-%m-%d-%H-%M-%S}".format(datetime.datetime.now()) + args.comment
+        work_dir = os.path.join(args.work_dir, stamp)
     ckpt_dir = os.path.join(work_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
     log = setup_logger(os.path.join(work_dir, "train.log"))
