@@ -103,6 +103,68 @@ _OPS = (autocontrast, equalize, posterize, color, contrast, brightness, sharpnes
 _RANGES = ((0, 1), (0, 1), (0, 6), (0.1, 1.9), (0.1, 1.9), (0.1, 1.9), (0.1, 1.9))
 
 
+# --------------------------------------------------------------------- batched
+# Batched forms of every op.  vmap(lax.switch) evaluates ALL branches under a
+# batch anyway (different lanes pick different ops), so the fast formulation is
+# to run each op batched over the whole batch once per round and select with
+# ``where`` — and to avoid scatter-based histograms, whose TPU lowering
+# dominated the train step.
+
+def _equalize_batched(img255: jax.Array) -> jax.Array:
+    """(B, H, W, 3): PIL-LUT equalize with a comparison-based histogram
+    (one-hot reduce instead of scatter — VPU-friendly)."""
+    b, h, w, _ = img255.shape
+    q = jnp.clip(img255, 0, 255).astype(jnp.int32).reshape(b, h * w, 3)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+
+    outs = []
+    for c in range(3):
+        onehot = (q[:, :, c:c + 1] == bins).astype(jnp.bfloat16)
+        hist = jnp.sum(onehot, axis=1).astype(jnp.float32)        # (B, 256)
+        total = jnp.sum(hist, axis=1, keepdims=True)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        last_nz = jnp.max(jnp.where(hist > 0, idx, -1), axis=1, keepdims=True)
+        h_last = jnp.take_along_axis(hist, jnp.maximum(last_nz, 0), axis=1)
+        step = jnp.floor((total - h_last) / 255.0)
+        cum_excl = jnp.cumsum(hist, axis=1) - hist
+        lut = jnp.floor((jnp.floor(step / 2) + cum_excl) / jnp.maximum(step, 1))
+        lut = jnp.clip(lut, 0, 255)
+        out = jnp.take_along_axis(lut, q[:, :, c], axis=1)
+        outs.append(jnp.where(step > 0, out, q[:, :, c].astype(jnp.float32)))
+    return jnp.stack(outs, axis=-1).reshape(b, h, w, 3)
+
+
+def _sharpness_batched(img255: jax.Array, v) -> jax.Array:
+    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    b, h, w, _ = img255.shape
+    x = img255.transpose(0, 3, 1, 2).reshape(b * 3, 1, h, w)
+    sm = jax.lax.conv_general_dilated(
+        x, k[None, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    sm = sm.reshape(b, 3, h, w).transpose(0, 2, 3, 1)
+    inner = jnp.pad(jnp.ones((1, h - 2, w - 2, 1), bool),
+                    ((0, 0), (1, 1), (1, 1), (0, 0)))
+    sm = jnp.where(inner, sm, img255)
+    return sm + v * (img255 - sm)
+
+
+def _batched_ops(img255: jax.Array, vals) -> jax.Array:
+    """All 7 ops over the batch; returns (7, B, H, W, 3)."""
+    lo = jnp.min(img255, axis=(1, 2), keepdims=True)
+    hi = jnp.max(img255, axis=(1, 2), keepdims=True)
+    auto = jnp.where(hi > lo, (img255 - lo) * (255.0 / jnp.maximum(hi - lo, 1e-5)),
+                     img255)
+    eq = _equalize_batched(img255)
+    post = posterize(img255, vals[2])
+    gray = _grayscale(img255)[..., None]
+    col = gray + vals[3] * (img255 - gray)
+    mean = jnp.mean(gray, axis=(1, 2, 3), keepdims=True)
+    con = mean + vals[4] * (img255 - mean)
+    bri = img255 * vals[5]
+    sharp = _sharpness_batched(img255, vals[6])
+    return jnp.stack([auto, eq, post, col, con, bri, sharp])
+
+
 @functools.partial(jax.jit, static_argnames=("n", "m"))
 def rand_augment(rng: jax.Array, images01: jax.Array, n: int = 5, m: int = 10) -> jax.Array:
     """Batched RandAugment: per image, ``n`` ops sampled with replacement from
@@ -116,17 +178,13 @@ def rand_augment(rng: jax.Array, images01: jax.Array, n: int = 5, m: int = 10) -
         [(m / 30.0) * (hi - lo) + lo for lo, hi in _RANGES], jnp.float32
     )
 
-    def apply_one(img_i, op_idx):
-        branches = [
-            (lambda im, f=f, i=i: jnp.clip(f(im, vals[i]), 0.0, 255.0))
-            for i, f in enumerate(_OPS)
-        ]
-        return jax.lax.switch(op_idx, branches, img_i)
-
-    for round_i in range(n):
+    for _ in range(n):
         rng, sub = jax.random.split(rng)
         ops = jax.random.randint(sub, (b,), 0, len(_OPS))
-        img = jax.vmap(apply_one)(img, ops)
+        all_ops = jnp.clip(_batched_ops(img, vals), 0.0, 255.0)  # (7,B,H,W,3)
+        sel = jax.nn.one_hot(ops, len(_OPS), axis=0,
+                             dtype=img.dtype)[..., None, None, None]
+        img = jnp.sum(all_ops * sel, axis=0)
 
     return img / 255.0
 

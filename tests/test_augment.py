@@ -64,6 +64,29 @@ def test_sharpness_interior_border(img255):
     np.testing.assert_allclose(ours[0], img255[0], atol=1e-3)
 
 
+def test_equalize_batched_matches_single(rng):
+    from dupl_tpu.ops.augment import _equalize_batched
+    imgs = (rng.rand(3, 24, 24, 3) * 255).astype(np.float32)
+    batched = np.asarray(_equalize_batched(jnp.asarray(imgs)))
+    for i in range(3):
+        single = np.asarray(augment.equalize(jnp.asarray(imgs[i]), None))
+        np.testing.assert_allclose(batched[i], single, atol=1e-3)
+
+
+def test_batched_ops_match_single(rng):
+    from dupl_tpu.ops.augment import _batched_ops, _OPS, _RANGES
+    imgs = (rng.rand(2, 24, 24, 3) * 255).astype(np.float32)
+    m = 10
+    vals = np.asarray([(m / 30.0) * (hi - lo) + lo for lo, hi in _RANGES],
+                      np.float32)
+    allb = np.asarray(_batched_ops(jnp.asarray(imgs), jnp.asarray(vals)))
+    for k, f in enumerate(_OPS):
+        for i in range(2):
+            single = np.asarray(f(jnp.asarray(imgs[i]), vals[k]))
+            np.testing.assert_allclose(allb[k, i], single, atol=1e-2,
+                                       err_msg=f"op {f.__name__}")
+
+
 def test_strong_augment_batch(rng):
     imgs = rng.rand(3, 32, 32, 3).astype(np.float32)
     out = augment.strong_augment(jax.random.PRNGKey(0), jnp.asarray(imgs), n=3, m=10)
