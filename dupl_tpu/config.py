@@ -54,6 +54,10 @@ class ModelConfig:
     # dynamic-int8 GEMMs (ops/quant.py) for inference pipelines only; the MXU
     # runs int8 at ~1.5x bf16.  Never enabled for training.
     quantized_inference: bool = False
+    # rematerialise transformer blocks in the backward pass (jax.checkpoint):
+    # trades ~30% step FLOPs for O(depth) activation memory — enables larger
+    # per-chip batches / ViT-L+ training.
+    remat: bool = False
 
     @property
     def num_fg(self) -> int:

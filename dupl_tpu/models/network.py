@@ -47,6 +47,7 @@ class Student(nn.Module):
         self.encoder = ViT(spec, aux_layer=self.cfg.aux_layer, dtype=dtype,
                            gelu_approximate=self.cfg.gelu_approximate,
                            quant=self.cfg.quantized_inference,
+                           remat=self.cfg.remat,
                            name="encoder")
         self.decoder = LargeFOV(
             self.cfg.num_classes, self.cfg.decoder_dim, self.cfg.decoder_dilation,

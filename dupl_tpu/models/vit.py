@@ -139,6 +139,7 @@ class ViT(nn.Module):
     dtype: Dtype = jnp.bfloat16
     gelu_approximate: bool = False
     quant: bool = False
+    remat: bool = False
 
     def setup(self):
         s = self.spec
@@ -154,9 +155,10 @@ class ViT(nn.Module):
             strides=(s.patch_size, s.patch_size), padding="VALID",
             dtype=self.dtype, name="patch_embed",
         )
+        block_cls = nn.remat(Block) if self.remat else Block
         self.blocks = [
-            Block(s.embed_dim, s.num_heads, s.mlp_ratio, self.dtype,
-                  self.gelu_approximate, quant=self.quant, name=f"block{i}")
+            block_cls(s.embed_dim, s.num_heads, s.mlp_ratio, self.dtype,
+                      self.gelu_approximate, quant=self.quant, name=f"block{i}")
             for i in range(s.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
