@@ -114,13 +114,29 @@ def _equalize_batched(img255: jax.Array) -> jax.Array:
     """(B, H, W, 3): PIL-LUT equalize with a comparison-based histogram
     (one-hot reduce instead of scatter — VPU-friendly)."""
     b, h, w, _ = img255.shape
-    q = jnp.clip(img255, 0, 255).astype(jnp.int32).reshape(b, h * w, 3)
+    n = h * w
+    q = jnp.clip(img255, 0, 255).astype(jnp.int32).reshape(b, n, 3)
     bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+
+    def histogram(qc):
+        """(B, N) -> (B, 256): chunked compare-reduce; bf16 within a chunk
+        (counts stay <= 256 so bf16 is exact), f32 across chunks.  Pixels are
+        padded with value 256, which matches no bin."""
+        chunk = 4096
+        npad = -(-n // chunk) * chunk
+        qq = jnp.pad(qc, ((0, 0), (0, npad - n)), constant_values=256)
+        qq = qq.reshape(b, npad // chunk, chunk)
+
+        def body(c, acc):
+            oh = (qq[:, c, :, None] == bins).astype(jnp.bfloat16)
+            return acc + jnp.sum(oh, axis=1).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, npad // chunk, body,
+                                 jnp.zeros((b, 256), jnp.float32))
 
     outs = []
     for c in range(3):
-        onehot = (q[:, :, c:c + 1] == bins).astype(jnp.bfloat16)
-        hist = jnp.sum(onehot, axis=1).astype(jnp.float32)        # (B, 256)
+        hist = histogram(q[:, :, c])                              # (B, 256)
         total = jnp.sum(hist, axis=1, keepdims=True)
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         last_nz = jnp.max(jnp.where(hist > 0, idx, -1), axis=1, keepdims=True)
