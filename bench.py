@@ -17,10 +17,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+from dupl_tpu.utils.cache import enable_compilation_cache
+
 REFERENCE_IMG_PER_S = 2.6
 
 
 def main():
+    enable_compilation_cache()
     from dupl_tpu.config import voc_config, ModelConfig
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer

@@ -18,6 +18,8 @@ import jax
 
 
 def main():
+    from dupl_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", choices=["voc", "coco"], default="voc")
     p.add_argument("--data-folder", required=True)

@@ -77,6 +77,8 @@ def build_config(args):
 
 
 def main():
+    from dupl_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args()
     from dupl_tpu.data.pipeline import PrefetchLoader
     from dupl_tpu.engine import checkpoint as ckpt
