@@ -108,11 +108,18 @@ class DualStudent:
         self.module = Student(cfg)
 
     def init(self, rng: jax.Array, sample: jax.Array):
-        """Init two independent branches and stack them."""
-        r1, r2 = jax.random.split(rng)
-        p1 = self.module.init(r1, sample)
-        p2 = self.module.init(r2, sample)
-        return jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+        """Init two independent branches and stack them.
+
+        One jitted program: eager init would dispatch hundreds of tiny ops,
+        which costs minutes through a remote-relay backend."""
+
+        def _init(rng):
+            r1, r2 = jax.random.split(rng)
+            p1 = self.module.init(r1, sample)
+            p2 = self.module.init(r2, sample)
+            return jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+
+        return jax.jit(_init)(rng)
 
     # -- batched-over-branches calls ------------------------------------------
     def apply(self, params, x: jax.Array) -> StudentOut:
