@@ -110,13 +110,17 @@ class DualStudent:
     def init(self, rng: jax.Array, sample: jax.Array):
         """Init two independent branches and stack them.
 
-        One jitted program: eager init would dispatch hundreds of tiny ops,
-        which costs minutes through a remote-relay backend."""
+        One jitted program (eager init dispatches hundreds of tiny ops —
+        minutes through a remote-relay backend), traced at a minimal spatial
+        size: every parameter shape is independent of the input resolution,
+        and the small trace keeps the init compile seconds-fast."""
+        p = self.cfg.patch_size
+        small = jnp.zeros((1, 2 * p, 2 * p, sample.shape[-1]), sample.dtype)
 
         def _init(rng):
             r1, r2 = jax.random.split(rng)
-            p1 = self.module.init(r1, sample)
-            p2 = self.module.init(r2, sample)
+            p1 = self.module.init(r1, small)
+            p2 = self.module.init(r2, small)
             return jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
 
         return jax.jit(_init)(rng)
