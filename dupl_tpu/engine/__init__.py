@@ -1,0 +1,1 @@
+from dupl_tpu.engine import checkpoint, eval_seg, optimizer, train, validate  # noqa: F401
