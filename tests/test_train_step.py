@@ -76,6 +76,26 @@ def test_all_phases_run_and_update(tiny_trainer):
         pe0, np.asarray(state.params["params"]["encoder"]["pos_embed"]))
 
 
+def test_coco_recipe_phases_run():
+    """COCO curriculum: warmup -> seg_static (aux CAM, static thresholds) ->
+    seg (dynamic) all step and stay finite on the tiny model."""
+    from dupl_tpu.config import coco_config
+    cfg = coco_config(
+        model=ModelConfig(backbone="test_tiny_patch16", num_classes=81,
+                          aux_layer=2, compute_dtype="float32"),
+        par=ParConfig(num_iter=1), gmm=GmmConfig(min_pixels=10),
+        cam_iters=1, refine_switch_iters=2, gmm_iters=3, max_iters=10,
+    )
+    trainer = Trainer(cfg)
+    batch = synthetic_batch(2, crop=64, num_fg=80)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    for expected in ["warmup", "seg_static", "seg", "full"]:
+        assert phase_of(cfg, int(state.step)) == expected
+        state, metrics = trainer.train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"])), expected
+
+
 def test_deterministic_given_seed(tiny_trainer):
     cfg, trainer, _, batch = tiny_trainer
     m = []
