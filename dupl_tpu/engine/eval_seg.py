@@ -83,10 +83,15 @@ class SegEvaluator:
     def run(self, params, dataset, *, batch_size: int = 8,
             crf: str = "device", out_dir: Optional[str] = None,
             max_images: Optional[int] = None, log=None,
-            shard: int = 0, num_shards: int = 1) -> Dict[str, object]:
+            shard: int = 0, num_shards: int = 1,
+            ensemble: bool = False) -> Dict[str, object]:
         """Evaluate; returns per-branch raw scores, the selected branch, and
         CRF scores.  ``shard``/``num_shards`` stride the dataset like the
-        reference's DDP eval split (eval_seg_coco_ddp.py:240-242)."""
+        reference's DDP eval split (eval_seg_coco_ddp.py:240-242).
+
+        ``ensemble=True`` averages the two students' logits for the CRF pass
+        instead of picking the better branch — the "ensemble" trick the
+        reference README suggests but does not implement."""
         cfg = self.cfg
         nc = cfg.num_classes
         base = cfg.data.crop_size
@@ -153,7 +158,11 @@ class SegEvaluator:
             pool = ThreadPoolExecutor(max(1, int(os.cpu_count() * 0.8)))
 
         for lo, samples, imgs in batches():
-            logits = np.asarray(fn(params, imgs), np.float32)[best - 1]  # (B,h,w,C)
+            all_logits = np.asarray(fn(params, imgs), np.float32)
+            if ensemble:
+                logits = all_logits.mean(axis=0)                 # (B,h,w,C)
+            else:
+                logits = all_logits[best - 1]
             if crf == "device":
                 if self.input_mode == "native":
                     lh, lw = logits.shape[1:3]

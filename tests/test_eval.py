@@ -92,6 +92,17 @@ def test_seg_evaluator_native_mode(tiny_setup, tmp_path):
     assert res["branch"] in (1, 2)
 
 
+def test_seg_evaluator_ensemble(tiny_setup, tmp_path):
+    cfg, trainer, params = tiny_setup
+    import dataclasses
+    from dupl_tpu.config import CrfConfig
+    cfg2 = dataclasses.replace(cfg, crf=CrfConfig(iter_max=2))
+    ev = SegEvaluator(cfg2, trainer.model, scales=(1.0,), merge="max")
+    res = ev.run(params, FakeSegDataset(n=2), batch_size=2, crf="device",
+                 ensemble=True, out_dir=str(tmp_path))
+    assert "crf_score" in res
+
+
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     cfg, trainer, params = tiny_setup
     from dupl_tpu.engine import checkpoint as ckpt

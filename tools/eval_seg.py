@@ -35,6 +35,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--scales", type=float, nargs="+", default=None)
+    p.add_argument("--ensemble", action="store_true",
+                   help="average both students' logits for the CRF pass "
+                        "instead of picking the better branch")
     p.add_argument("--shard", type=int, default=0,
                    help="strided dataset shard (reference DDP eval split, "
                         "eval_seg_coco_ddp.py:240-242)")
@@ -81,13 +84,14 @@ def main():
                       input_mode=args.input_mode)
     res = ev.run(params, ds, batch_size=args.batch_size, crf=args.crf,
                  out_dir=args.out_dir, max_images=args.max_images, log=log,
-                 shard=args.shard, num_shards=args.num_shards)
+                 shard=args.shard, num_shards=args.num_shards,
+                 ensemble=args.ensemble)
 
     tables = [res["seg_score_1"], res["seg_score_2"]]
     names = ["Seg_1", "Seg_2"]
     if "crf_score" in res:
         tables.append(res["crf_score"])
-        names.append(f"branch{res['branch']}+CRF")
+        names.append("ensemble+CRF" if args.ensemble else f"branch{res['branch']}+CRF")
     print(format_score_table(tables, names, cfg.class_list))
 
 
