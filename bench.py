@@ -9,20 +9,70 @@ on COCO).  ``vs_baseline`` is measured against 2.6 img/s — the reference's
 device-side CAM inference throughput, which its CPU CRF can only slow down.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Robustness (round-1 lesson — the TPU relay can be down, in which case the
+first device query *hangs* rather than erroring): the backend is probed in a
+subprocess with a bounded timeout before anything touches jax in this
+process; on an unhealthy backend we fall back to a small CPU measurement and
+annotate the JSON line, and any failure still prints a parseable JSON line
+instead of a raw traceback.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from dupl_tpu.utils.cache import enable_compilation_cache
 
 REFERENCE_IMG_PER_S = 2.6
 
+_PROBE_SRC = "import jax; print('PLATFORM=' + jax.devices()[0].platform)"
+
+
+def probe_platform(timeout_s: float = 150.0, attempts: int = 2) -> str:
+    """Ask a subprocess which backend is actually reachable.
+
+    Returns the platform name ('tpu'/'axon'/...) or 'cpu' if the ambient
+    backend is unreachable within the timeout."""
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=timeout_s, env=env,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("PLATFORM="):
+                    return line.split("=", 1)[1]
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            time.sleep(10)
+    return "cpu"
+
 
 def main():
+    platform = probe_platform()
+    on_device = platform not in ("cpu",)
+    if not on_device:
+        # Relay down.  A CPU measurement of the ViT-B pipeline takes >20 min —
+        # useless to the driver; emit a parseable skip line instead of hanging
+        # or tracebacking (round-1 failure mode).
+        print(json.dumps({
+            "metric": "cam_par_crf_inference_voc_vitb",
+            "value": None,
+            "unit": "img/s",
+            "vs_baseline": None,
+            "error": "tpu_unavailable: backend probe timed out; "
+                     "self-reported TPU numbers in BENCHMARKS.md",
+        }))
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from dupl_tpu.utils.cache import enable_compilation_cache
+
     enable_compilation_cache()
     from dupl_tpu.config import voc_config, ModelConfig
     from dupl_tpu.data.pipeline import synthetic_batch
@@ -99,4 +149,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # never a raw traceback: the driver parses stdout
+        print(json.dumps({
+            "metric": "cam_par_crf_inference_voc_vitb",
+            "value": None,
+            "unit": "img/s",
+            "vs_baseline": None,
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+        }))
+        raise SystemExit(1)

@@ -35,6 +35,32 @@ from dupl_tpu.utils import colormap
 from dupl_tpu.utils import metrics as metrics_utils
 
 
+def msc_seg_logits(seg_fn, x: jax.Array, out_size, scales: Sequence[float],
+                   merge: str = "max") -> jax.Array:
+    """Multi-scale + flip segmentation logits for one branch
+    (reference: tools/eval_seg_voc.py:56-77 max-merge /
+    eval_seg_coco_ddp.py:120-121 sum-merge).
+
+    ``seg_fn`` maps an NHWC batch to (B, h, w, C) seg logits.  Per scale the
+    batch rides with its horizontal flip; logits are resized to ``out_size``
+    and flip-summed; scales merge by max or sum."""
+    b, hh, ww, _ = x.shape
+    merged = None
+    for sc in scales:
+        size = (int(hh * sc), int(ww * sc))
+        xs = x if sc == 1.0 else image_ops.resize_bilinear(x, size)
+        both = jnp.concatenate([xs, xs[:, :, ::-1, :]], axis=0)
+        seg = image_ops.resize_bilinear(seg_fn(both), tuple(out_size))
+        seg = seg[:b] + seg[b:, :, ::-1, :]
+        if merged is None:
+            merged = seg
+        elif merge == "max":
+            merged = jnp.maximum(merged, seg)
+        else:
+            merged = merged + seg
+    return merged
+
+
 class SegEvaluator:
     def __init__(self, cfg: TrainConfig, model: DualStudent,
                  scales: Sequence[float] = (1.0, 1.5, 1.25),

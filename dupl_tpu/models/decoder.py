@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 class LargeFOV(nn.Module):
     """3x3 dil-5 conv -> ReLU -> 3x3 dil-5 conv -> ReLU -> 1x1 conv to classes
-    (conv_head.py:11-41).  3x3 convs carry no bias, the 1x1 does."""
+    (conv_head.py:11-41).  All three convs are bias-free, exactly like the
+    reference's ``conv3x3``/``conv1x1`` helpers (conv_head.py:3-9)."""
 
     out_planes: int
     embed_dim: int = 512
@@ -30,7 +31,7 @@ class LargeFOV(nn.Module):
         x = nn.Conv(self.embed_dim, (3, 3), kernel_dilation=(d, d),
                     padding=d, use_bias=False, dtype=self.dtype, name="conv7")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_planes, (1, 1), use_bias=True,
+        x = nn.Conv(self.out_planes, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv8")(x)
         return x.astype(jnp.float32)
 

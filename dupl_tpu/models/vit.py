@@ -170,9 +170,8 @@ class ViT(nn.Module):
         cls_pos = self.pos_embed[:, :1]
         patch_pos = self.pos_embed[:, 1:].reshape(1, g, g, self.spec.embed_dim)
         if (h, w) != (g, g):
-            patch_pos = jax.image.resize(
-                patch_pos, (1, h, w, self.spec.embed_dim), method="cubic"
-            )
+            from dupl_tpu.ops.image import resize_bicubic
+            patch_pos = resize_bicubic(patch_pos, (h, w))
         patch_pos = patch_pos.reshape(1, h * w, self.spec.embed_dim)
         return jnp.concatenate([cls_pos, patch_pos], axis=1)
 

@@ -22,14 +22,54 @@ IMAGENET_STD = (58.395, 57.12, 57.375)
 def resize_bilinear(x: jax.Array, size: Tuple[int, int], *, batch_dims: int = 1) -> jax.Array:
     """Bilinear resize with half-pixel centers over the two dims after
     ``batch_dims`` — matches torch ``F.interpolate(mode='bilinear',
-    align_corners=False)`` used throughout the reference."""
+    align_corners=False)`` used throughout the reference.
+
+    ``antialias=False`` is semantic, not cosmetic: torch does not antialias,
+    and jax's default (antialias on downscale) diverges by ~0.2 absolute on a
+    0.5x downscale — which hits multi-scale CAM (scale 0.5), PAR's
+    down_scale=2 input, and eval resizing (verified by
+    tests/test_reference_parity.py)."""
     shape = x.shape[:batch_dims] + tuple(size) + x.shape[batch_dims + 2:]
-    return jax.image.resize(x, shape, method="bilinear")
+    return jax.image.resize(x, shape, method="bilinear", antialias=False)
 
 
 def resize_nearest(x: jax.Array, size: Tuple[int, int], *, batch_dims: int = 1) -> jax.Array:
     shape = x.shape[:batch_dims] + tuple(size) + x.shape[batch_dims + 2:]
     return jax.image.resize(x, shape, method="nearest")
+
+
+def _cubic_kernel(t: jax.Array, a: float = -0.75) -> jax.Array:
+    """Cubic convolution kernel with torch's A = -0.75 (jax's ``cubic`` uses
+    the Keys kernel with A = -0.5, which is NOT what torch bicubic computes)."""
+    at = jnp.abs(t)
+    near = ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+    far = a * (((at - 5.0) * at + 8.0) * at - 4.0)
+    return jnp.where(at <= 1.0, near, jnp.where(at < 2.0, far, 0.0))
+
+
+def _bicubic_weights(in_size: int, out_size: int) -> jax.Array:
+    """(out, in) sampling matrix for 1-D torch-style bicubic: half-pixel
+    centers, 4 taps, indices clamped to the border (replicate)."""
+    scale = in_size / out_size
+    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    i0 = jnp.floor(src).astype(jnp.int32)
+    w = jnp.zeros((out_size, in_size), jnp.float32)
+    rows = jnp.arange(out_size)
+    for k in range(-1, 3):
+        idx = jnp.clip(i0 + k, 0, in_size - 1)
+        w = w.at[rows, idx].add(_cubic_kernel(src - (i0 + k).astype(jnp.float32)))
+    return w
+
+
+def resize_bicubic(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bicubic resize matching torch ``F.interpolate(mode='bicubic',
+    align_corners=False)`` exactly (A = -0.75, no antialias, border-clamped
+    taps).  x: (B, H, W, C).  Used for ViT positional-embedding interpolation
+    (reference: model/backbone/vit.py:294-297) where the kernel-shape
+    difference vs jax's ``cubic`` shifts every token by ~6% relative."""
+    wh = _bicubic_weights(x.shape[1], size[0]).astype(x.dtype)
+    ww = _bicubic_weights(x.shape[2], size[1]).astype(x.dtype)
+    return jnp.einsum("oh,bhwc,pw->bopc", wh, x, ww)
 
 
 def denormalize(x: jax.Array) -> jax.Array:

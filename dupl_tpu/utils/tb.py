@@ -21,6 +21,10 @@ class TbWriter:
             except Exception:
                 self._w = None
 
+    @property
+    def enabled(self) -> bool:
+        return self._w is not None
+
     def scalar(self, tag: str, value: float, step: int) -> None:
         if self._w is not None:
             self._w.add_scalar(tag, float(value), step)
@@ -32,6 +36,18 @@ class TbWriter:
     def close(self) -> None:
         if self._w is not None:
             self._w.close()
+
+
+def image_grid(images01: np.ndarray, nrow: int = 2) -> np.ndarray:
+    """(B, H, W, 3) [0,1] -> one uint8 grid image (torchvision.make_grid
+    analogue for the reference's "CAM/inputs" panel, imutils.py:255-257)."""
+    b, h, w, _ = images01.shape
+    rows = -(-b // nrow)
+    grid = np.zeros((rows * h, nrow * w, 3), np.float32)
+    for i in range(b):
+        r, c = divmod(i, nrow)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = images01[i]
+    return (np.clip(grid, 0, 1) * 255).astype(np.uint8)
 
 
 def cam_overlay_grid(images01: np.ndarray, cams: np.ndarray,

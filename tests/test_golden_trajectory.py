@@ -12,7 +12,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if __name__ == "__main__":
+    # regeneration must run on the same platform the test suite uses (the
+    # conftest forces CPU; outside pytest the ambient axon backend would be
+    # picked — and hangs when the relay is down)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from dupl_tpu.config import GmmConfig, ModelConfig, OptimConfig, ParConfig, voc_config

@@ -35,7 +35,8 @@ def test_group_labels():
 
 def test_frozen_and_head_multipliers():
     params = _params()
-    cfg = OptimConfig(warmup_iters=1, warmup_ratio=1.0)  # LR = base from step 0
+    # LR = base from step 0; zero decay so kernel updates depend only on LR
+    cfg = OptimConfig(warmup_iters=1, warmup_ratio=1.0, weight_decay=0.0)
     opt = make_optimizer(cfg, params, max_iters=1000)
     state = opt.init(params)
     grads = jax.tree.map(jnp.ones_like, params)
@@ -44,9 +45,8 @@ def test_frozen_and_head_multipliers():
     pos = updates["params"]["encoder"]["pos_embed"]
     assert np.all(np.asarray(pos) == 0.0)  # frozen
 
-    # identical grad=1 on zero-decay-free params: head update = 10x base update
-    head_u = np.asarray(updates["params"]["decoder"]["conv8"]["bias"])
-    # find a base bias leaf (encoder patch_embed bias)
+    # identical grad=1, no decay: head update = 10x base update
+    head_u = np.asarray(updates["params"]["decoder"]["conv8"]["kernel"])
     base_u = np.asarray(updates["params"]["encoder"]["patch_embed"]["bias"])
     ratio = head_u.mean() / base_u.mean()
     assert ratio == pytest.approx(10.0, rel=1e-3)

@@ -1,0 +1,492 @@
+"""Numeric parity against the actual torch reference at /root/reference.
+
+The highest-leverage correctness evidence available without VOC data or DeiT
+checkpoints (VERDICT round 1, item 1): co-run the reference's own code and the
+JAX rebuild on identical weights + identical synthetic batches and compare —
+model forwards, PAR, pseudo-label refinement, the loss stack, one full train
+step per curriculum phase, and the eval multi-scale merge.
+
+Weight bridge + timm shim live in tests/ref_oracle.py.
+
+Tolerances: pure tensor ops match to ~1e-5; deep fp32 forwards accumulate to
+~1e-3 relative on logits; integer pseudo-labels must agree except at banding
+boundaries where fp noise flips the comparison (>=99.5% of pixels).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import ref_oracle
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ref_oracle.REFERENCE_ROOT), reason="reference not present")
+
+
+@pytest.fixture(scope="module")
+def R():
+    return ref_oracle.load_reference()
+
+
+def _seeded(seed):
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TINY_BACKBONE = "deit_tiny_patch16_224"  # 192-dim, depth 12 — real registry entry
+TINY_JAX = "deit_tiny_patch16"
+
+
+def make_pair(R, num_classes=21, aux_layer=-3, seed=0):
+    """(torch siamese_network, repo DualStudent, stacked params) on identical
+    random weights."""
+    from dupl_tpu.config import ModelConfig
+    from dupl_tpu.models.network import DualStudent
+
+    _seeded(seed)
+    net = R.model_dupl.siamese_network(
+        TINY_BACKBONE, num_classes=num_classes, pretrained=False,
+        aux_layer=aux_layer)
+    net.eval()
+    params = ref_oracle.convert_siamese_state(net)
+    cfg = ModelConfig(backbone=TINY_JAX, num_classes=num_classes,
+                      aux_layer=aux_layer, compute_dtype="float32")
+    return net, DualStudent(cfg), params
+
+
+def rand_batch(b=2, size=64, num_fg=20, seed=0):
+    rs = np.random.RandomState(seed)
+    x = rs.rand(b, size, size, 3).astype(np.float32) * 2 - 1
+    cls = (rs.rand(b, num_fg) > 0.7).astype(np.float32)
+    cls[np.arange(b), rs.randint(0, num_fg, b)] = 1
+    box = np.stack([
+        np.asarray([4, size - 6, 2, size - 2], np.int32),
+        np.asarray([0, size, 8, size - 8], np.int32),
+    ])[:b]
+    return x, cls, box
+
+
+# ---------------------------------------------------------------------------
+# (a) encoder forward
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("size", [224, 448])
+def test_vit_base_forward_parity(R, size):
+    """Full flagship ViT-B/16 forward vs the reference torch encoder on
+    identical weights — at 224 (pretraining grid) and 448 (exercises the
+    bicubic pos-embed interpolation, reference vit.py:294-297)."""
+    import model.backbone.deit as deit
+    from dupl_tpu.models.pretrained import convert_vit_state_dict
+    from dupl_tpu.models.vit import ViT, VIT_CONFIGS
+
+    _seeded(0)
+    enc = deit.deit_base_patch16_224(pretrained=False, aux_layer=-3)
+    enc.eval()
+    state = {k: ref_oracle._np(v) for k, v in enc.state_dict().items()}
+    params = {"params": convert_vit_state_dict(state, depth=12)}
+
+    vit = ViT(VIT_CONFIGS["deit_base_patch16"], aux_layer=-3, dtype=jnp.float32)
+    x = np.random.RandomState(1).rand(1, size, size, 3).astype(np.float32)
+
+    with torch.no_grad():
+        t_cls, t_tok, t_aux = enc.forward_features(ref_oracle.nchw(x))
+    j_cls, j_tok, j_aux = jax.jit(vit.apply)(params, jnp.asarray(x))
+
+    scale = np.abs(t_tok.numpy()).max()
+    np.testing.assert_allclose(np.asarray(j_tok), t_tok.numpy(),
+                               atol=2e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(j_cls), t_cls.numpy(),
+                               atol=2e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(j_aux), t_aux.numpy(),
+                               atol=2e-3 * scale, rtol=0)
+
+
+def test_student_forward_and_cam_parity(R):
+    """Student heads (cls/seg/fmap/cls_aux) and cam_only vs the reference
+    ``network`` (model/model_dupl.py:69-106) on identical weights."""
+    net, model, params = make_pair(R)
+    x, _, _ = rand_batch(b=2, size=64)
+
+    with torch.no_grad():
+        t_cls, t_seg, t_fmap, t_aux = net.branch1(ref_oracle.nchw(x))
+        t_cam_aux, t_cam = net.branch1(ref_oracle.nchw(x), cam_only=True)
+
+    out = model.apply_branch(params, 0, jnp.asarray(x))
+    cam, cam_aux = model.cam_only(params, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(out.cls), t_cls.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.cls_aux), t_aux.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.fmap), ref_oracle.nhwc(t_fmap), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.seg), ref_oracle.nhwc(t_seg), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cam[0]), ref_oracle.nhwc(t_cam), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cam_aux[0]), ref_oracle.nhwc(t_cam_aux), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# (b) PAR
+# ---------------------------------------------------------------------------
+
+def test_par_parity(R):
+    """ops/par.par_refine vs model/PAR.py:39-89 — full dilations, 10 iters."""
+    from dupl_tpu.ops.par import par_refine
+
+    _seeded(0)
+    imgs = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+    masks = np.random.RandomState(3).rand(2, 64, 64, 6).astype(np.float32)
+    masks /= masks.sum(-1, keepdims=True)
+
+    par = R.PAR.PAR(dilations=[1, 2, 4, 8, 12, 24], num_iter=10)
+    with torch.no_grad():
+        t = par(ref_oracle.nchw(imgs), ref_oracle.nchw(masks))
+
+    j = par_refine(jnp.asarray(imgs), jnp.asarray(masks), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(j), ref_oracle.nhwc(t), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# (c) refine_cams_with_bkg_v2 / _dynamic_thres
+# ---------------------------------------------------------------------------
+
+def _torch_refine(R, dynamic, imgs01, cams, cls, box, high, low=0.25):
+    par = R.PAR.PAR(dilations=[1, 2, 4, 8, 12, 24], num_iter=10)
+    ti = ref_oracle.nchw(imgs01)
+    tc = ref_oracle.nchw(cams)
+    tl = torch.tensor(cls)
+    tb = torch.tensor(box)
+    with torch.no_grad():
+        if dynamic:
+            b, _, h, w = ti.shape
+            hmap = torch.tensor(high)[:, None, None, None].expand(b, 1, h, w)
+            lab = R.cam_helper.refine_cams_with_dynamic_thres(
+                par, ti, cams=tc, cls_labels=tl, high_thre_map=hmap,
+                low_thre=low, ignore_index=255, img_box=tb)
+        else:
+            lab = R.cam_helper.refine_cams_with_bkg_v2(
+                par, ti, cams=tc, cls_labels=tl, high_thre=high,
+                low_thre=low, ignore_index=255, img_box=tb)
+    return lab.numpy().astype(np.int32)
+
+
+@pytest.mark.parametrize("dynamic", [False, True])
+def test_refine_cams_parity(R, dynamic):
+    """Batched -inf-masked refinement vs the reference's per-image valid-key
+    loop (utils/cam_helper.py:338-431)."""
+    from dupl_tpu.ops.cam import refine_cams_with_bkg
+    from dupl_tpu.ops.par import par_refine
+
+    rs = np.random.RandomState(4)
+    b, size, num_fg = 2, 64, 5
+    imgs01 = rs.rand(b, size, size, 3).astype(np.float32)
+    cls = np.zeros((b, num_fg), np.float32)
+    cls[0, [0, 2]] = 1
+    cls[1, [1, 3, 4]] = 1
+    cams = rs.rand(b, size, size, num_fg).astype(np.float32) * cls[:, None, None, :]
+    box = np.stack([[4, 60, 2, 62], [0, 64, 8, 56]]).astype(np.int32)
+    high = np.asarray([0.62, 0.55], np.float32) if dynamic else 0.7
+
+    t_lab = _torch_refine(R, dynamic, imgs01, cams, cls, box, high)
+
+    j_lab = refine_cams_with_bkg(
+        lambda i, m: par_refine(i, m, use_pallas=False),
+        jnp.asarray(imgs01), jnp.asarray(cams), jnp.asarray(cls),
+        high_thre=jnp.asarray(high, jnp.float32), low_thre=0.25,
+        img_box=jnp.asarray(box), ignore_index=255, down_scale=2)
+
+    agree = np.mean(np.asarray(j_lab) == t_lab)
+    assert agree >= 0.995, f"refined-label agreement {agree:.4f}"
+
+
+# ---------------------------------------------------------------------------
+# multi-scale CAM fusion
+# ---------------------------------------------------------------------------
+
+def test_multi_scale_cam_parity(R):
+    """multi_scale_cam vs cam_helper.multi_scale_cam2_siamese on identical
+    weights (scales 1.0/0.5/1.5 + flip + minmax norm)."""
+    from dupl_tpu.models.network import Student
+    from dupl_tpu.ops.cam import multi_scale_cam
+
+    net, model, params = make_pair(R)
+    x, _, _ = rand_batch(b=2, size=64, seed=5)
+    scales = (1.0, 0.5, 1.5)
+
+    with torch.no_grad():
+        t_cam, t_aux = R.cam_helper.multi_scale_cam2_siamese(
+            net, inputs=ref_oracle.nchw(x), scales=scales, branch=1)
+
+    p0 = model.branch(params, 0)
+    j_cam, j_aux = multi_scale_cam(
+        lambda z: model.module.apply(p0, z, method=Student.cam_only),
+        jnp.asarray(x), scales)
+
+    np.testing.assert_allclose(np.asarray(j_cam), ref_oracle.nhwc(t_cam), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(j_aux), ref_oracle.nhwc(t_aux), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def test_loss_function_parity(R):
+    from dupl_tpu.ops import losses as L
+
+    rs = np.random.RandomState(6)
+    fmap = rs.randn(2, 8, 8, 16).astype(np.float32)
+    aff = rs.choice([0, 1, 255], size=(2, 64, 64)).astype(np.int64)
+    t_ptc = R.losses.get_masked_ptc_loss(
+        ref_oracle.nchw(fmap), torch.tensor(aff))
+    j_ptc = L.masked_ptc_loss(jnp.asarray(fmap), jnp.asarray(aff))
+    np.testing.assert_allclose(float(j_ptc), float(t_ptc), rtol=1e-5)
+
+    logits = rs.randn(2, 21, 32, 32).astype(np.float32)
+    labels = rs.choice([0, 1, 5, 20, 255], size=(2, 32, 32),
+                       p=[0.3, 0.25, 0.2, 0.15, 0.1]).astype(np.int64)
+    t_seg = R.losses.get_seg_loss(torch.tensor(logits), torch.tensor(labels))
+    j_seg = L.seg_loss(jnp.asarray(logits.transpose(0, 2, 3, 1)), jnp.asarray(labels))
+    np.testing.assert_allclose(float(j_seg), float(t_seg), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# (d) full train step, all three phases
+# ---------------------------------------------------------------------------
+
+def _torch_step(R, net, batch, cfg, n_iter):
+    """The reference VOC train-step loss stack (train_final_voc.py:174-472),
+    co-run on the reference's own helpers.  Strong aug is the n=0 limit
+    (pure hflip) to keep both sides deterministic."""
+    import torch.nn.functional as F
+    from sklearn.mixture import GaussianMixture
+
+    x, cls_np, box_np = batch
+    inputs = ref_oracle.nchw(x)
+    cls_label = torch.tensor(cls_np)
+    img_box = torch.tensor(box_np)
+    mean = torch.tensor([0.485, 0.456, 0.406])[None, :, None, None]
+    std = torch.tensor([0.229, 0.224, 0.225])[None, :, None, None]
+    inputs_denorm = inputs * std + mean
+    par = R.PAR.PAR(dilations=list(cfg.par.dilations), num_iter=cfg.par.num_iter)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=255, reduction="none")
+    scales = tuple(cfg.cam_scales)
+    b = inputs.shape[0]
+
+    with torch.no_grad():
+        cams_1, cams_aux_1 = R.cam_helper.multi_scale_cam2_siamese(
+            net, inputs=inputs, scales=scales, branch=1)
+        cams_2, cams_aux_2 = R.cam_helper.multi_scale_cam2_siamese(
+            net, inputs=inputs, scales=scales, branch=2)
+        res = net(inputs)
+        cls_1, segs_1, fmap_1, cls_aux_1 = res["branch1"]
+        cls_2, segs_2, fmap_2, cls_aux_2 = res["branch2"]
+
+        cls_loss = (F.multilabel_soft_margin_loss(cls_1, cls_label)
+                    + F.multilabel_soft_margin_loss(cls_aux_1, cls_label)
+                    + F.multilabel_soft_margin_loss(cls_2, cls_label)
+                    + F.multilabel_soft_margin_loss(cls_aux_2, cls_label))
+
+        if n_iter < cfg.cam_iters:  # phase 1: static PTC thresholds
+            r1 = F.interpolate(cams_aux_1, size=fmap_1.shape[2:], mode="bilinear",
+                               align_corners=False)
+            _, pl1 = R.cam_helper.cam_to_label(
+                r1, cls_label=cls_label, img_box=img_box, ignore_mid=True,
+                bkg_thre=cfg.bkg_thre, high_thre=cfg.high_thre,
+                low_thre=cfg.low_thre, ignore_index=255)
+            r2 = F.interpolate(cams_aux_2, size=fmap_2.shape[2:], mode="bilinear",
+                               align_corners=False)
+            _, pl2 = R.cam_helper.cam_to_label(
+                r2, cls_label=cls_label, img_box=img_box, ignore_mid=True,
+                bkg_thre=cfg.bkg_thre, high_thre=cfg.high_thre,
+                low_thre=cfg.low_thre, ignore_index=255)
+            ptc = (R.losses.get_masked_ptc_loss(fmap_1, R.cam_helper.label_to_aff_mask(pl1))
+                   + R.losses.get_masked_ptc_loss(fmap_2, R.cam_helper.label_to_aff_mask(pl2)))
+            seg = torch.zeros(())
+            reg = torch.zeros(())
+        else:
+            # cosine-descending per-class thresholds (train_final_voc.py:260-276)
+            t = (n_iter - cfg.cam_iters) / (cfg.max_iters - cfg.cam_iters - 1)
+            hstart = torch.full((len(cfg.high_thre_targets),), cfg.high_thre)
+            htarget = torch.tensor(cfg.high_thre_targets)
+            high_thres = hstart + (htarget - hstart) * (1 - torch.cos(torch.tensor(np.pi * t))) / 2
+            high_b = torch.stack([
+                torch.max(high_thres[torch.nonzero(cls_label[i]).squeeze(-1)])
+                for i in range(b)])
+            hmask = high_b[:, None, None, None].expand(b, 1, *inputs.shape[2:])
+
+            r1 = F.interpolate(cams_aux_1, size=fmap_1.shape[2:], mode="bilinear",
+                               align_corners=False)
+            _, pl1 = R.cam_helper.cam_to_label_dynamic_cls(
+                r1, cls_label=cls_label, img_box=img_box, ignore_mid=True,
+                bkg_thre=cfg.bkg_thre, high_thre=high_b,
+                low_thre=cfg.low_thre, ignore_index=255)
+            r2 = F.interpolate(cams_aux_2, size=fmap_2.shape[2:], mode="bilinear",
+                               align_corners=False)
+            _, pl2 = R.cam_helper.cam_to_label_dynamic_cls(
+                r2, cls_label=cls_label, img_box=img_box, ignore_mid=True,
+                bkg_thre=cfg.bkg_thre, high_thre=high_b,
+                low_thre=cfg.low_thre, ignore_index=255)
+            ptc = (R.losses.get_masked_ptc_loss(fmap_1, R.cam_helper.label_to_aff_mask(pl1))
+                   + R.losses.get_masked_ptc_loss(fmap_2, R.cam_helper.label_to_aff_mask(pl2)))
+
+            rep = cls_label[:, :, None, None].expand(-1, -1, *inputs.shape[2:])
+            ref1 = R.cam_helper.refine_cams_with_dynamic_thres(
+                par, inputs_denorm, cams=cams_1 * rep, cls_labels=cls_label,
+                high_thre_map=hmask, low_thre=cfg.low_thre, ignore_index=255,
+                img_box=img_box)
+            ref2 = R.cam_helper.refine_cams_with_dynamic_thres(
+                par, inputs_denorm, cams=cams_2 * rep, cls_labels=cls_label,
+                high_thre_map=hmask, low_thre=cfg.low_thre, ignore_index=255,
+                img_box=img_box)
+
+            su1 = F.interpolate(segs_1, size=ref1.shape[1:], mode="bilinear",
+                                align_corners=False)
+            su2 = F.interpolate(segs_2, size=ref2.shape[1:], mode="bilinear",
+                                align_corners=False)
+
+            if n_iter < cfg.gmm_iters:  # phase 2
+                seg = (R.losses.get_seg_loss(su1, ref2.long())
+                       + R.losses.get_seg_loss(su2, ref1.long()))
+                reg = torch.zeros(())
+                gmm_fired = False
+            else:  # phase 3: GMM filtering + consistency reg (voc:358-447)
+                l1 = ce(su1, ref1.long())
+                l2 = ce(su2, ref2.long())
+                roi1 = (ref1 != 0) & (ref1 != 255)
+                roi2 = (ref2 != 0) & (ref2 != 255)
+                gmm_fired = False
+                for i in range(b):
+                    for lm, roi, ref in ((l1, roi1, ref1), (l2, roi2, ref2)):
+                        vals = lm[i][roi[i]]
+                        vals = vals[vals > 0.1]
+                        if vals.numel() > 1000:
+                            g = GaussianMixture(n_components=2, max_iter=10,
+                                                tol=1e-2, reg_covar=5e-4,
+                                                random_state=0)
+                            g.fit(vals[:, None].numpy())
+                            if abs(g.means_[0, 0] - g.means_[1, 0]) > cfg.gmm.valid_thre:
+                                gmm_fired = True
+                                ni = g.means_.argmax()
+                                prob = g.predict_proba(
+                                    lm[i].reshape(-1, 1).numpy())
+                                noise = torch.tensor(
+                                    prob[:, ni] > cfg.gmm.gamma
+                                ).reshape(ref.shape[1:])
+                                noise = noise & (ref[i] != 0)
+                                ref[i][noise] = 255
+                seg = (R.losses.get_seg_loss(su1, ref2.long())
+                       + R.losses.get_seg_loss(su2, ref1.long()))
+
+                # strong view = n=0 RandAugment = pure hflip at 0.75 scale
+                # (imutils.py:305-317 + model_dupl.py:194-206)
+                x_aug = torch.flip(inputs, dims=[3])
+                x_aug = F.interpolate(x_aug, scale_factor=cfg.aug_downscale,
+                                      mode="bilinear", align_corners=False)
+                _, sa1, _, _ = net.branch1(x_aug)
+                _, sa2, _, _ = net.branch2(x_aug)
+                sa1 = F.interpolate(torch.flip(sa1, dims=[3]),
+                                    size=inputs.shape[2:], mode="bilinear",
+                                    align_corners=False)
+                sa2 = F.interpolate(torch.flip(sa2, dims=[3]),
+                                    size=inputs.shape[2:], mode="bilinear",
+                                    align_corners=False)
+                ps1 = su1.detach().max(1)[1]
+                ps2 = su2.detach().max(1)[1]
+                cm1 = torch.softmax(su1.detach(), dim=1).max(1)[0]
+                cm2 = torch.softmax(su2.detach(), dim=1).max(1)[0]
+                un1 = (ref2 == 255) & (cm1 > cfg.reg_conf_thre)
+                un2 = (ref1 == 255) & (cm2 > cfg.reg_conf_thre)
+                ps1[~un1] = 255
+                ps2[~un2] = 255
+                reg = torch.zeros(())
+                if un1.sum() > 0:
+                    reg = reg + ce(sa1, ps1).sum() / un1.sum()
+                if un2.sum() > 0:
+                    reg = reg + ce(sa2, ps2).sum() / un2.sum()
+
+        f1 = fmap_1.reshape(fmap_1.shape[0], fmap_1.shape[1], -1)
+        f2 = fmap_2.reshape(fmap_2.shape[0], fmap_2.shape[1], -1)
+        cos = torch.nn.CosineSimilarity(dim=-1, eps=1e-6)
+        sim = (1 + cos(f1.detach(), f2).mean()) + (1 + cos(f2.detach(), f1).mean())
+
+    out = {"cls_loss": float(cls_loss), "ptc_loss": float(ptc),
+           "seg_loss": float(seg), "sim_loss": float(sim), "reg_loss": float(reg)}
+    if n_iter >= cfg.gmm_iters:
+        out["gmm_fired"] = gmm_fired
+    return out
+
+
+@pytest.mark.parametrize("step", [100, 3000, 9000])
+def test_train_step_loss_parity(R, step):
+    """One full train step per curriculum phase: every loss term matches the
+    reference step (train_final_voc.py:174-472) on identical weights + batch."""
+    from dupl_tpu.config import GmmConfig, ModelConfig, voc_config
+    from dupl_tpu.engine.train import Trainer, TrainState
+
+    net, model, params = make_pair(R, seed=7)
+    cfg = voc_config(
+        model=ModelConfig(backbone=TINY_JAX, compute_dtype="float32"),
+        aug_n=0,  # strong aug degenerates to hflip — deterministic co-run
+        cam_iters=2000, gmm_iters=8000, max_iters=20000,
+    )
+    batch_np = rand_batch(b=2, size=64, seed=8)
+
+    t_losses = _torch_step(R, net, batch_np, cfg, n_iter=step)
+
+    trainer = Trainer(cfg, model=model)
+    x, cls, box = batch_np
+    jbatch = {"image": jnp.asarray(x), "cls_label": jnp.asarray(cls),
+              "img_box": jnp.asarray(box)}
+    state = trainer.init_state(jax.random.PRNGKey(0), jbatch["image"][:1])
+    state = TrainState(params, state.opt_state, jnp.int32(step), state.rng)
+    _, metrics = trainer.train_step(state, jbatch)
+
+    for key in ("cls_loss", "ptc_loss", "seg_loss", "sim_loss", "reg_loss"):
+        ref_v, jax_v = t_losses[key], float(metrics[key])
+        tol = 2e-3 * max(1.0, abs(ref_v))
+        if key in ("seg_loss", "reg_loss") and t_losses.get("gmm_fired"):
+            tol = 0.05 * max(1.0, abs(ref_v))  # sklearn vs masked-EM noise masks
+        assert abs(ref_v - jax_v) <= tol, (
+            f"step {step} {key}: torch {ref_v:.6f} vs jax {jax_v:.6f}")
+
+
+# ---------------------------------------------------------------------------
+# (e) eval multi-scale merge
+# ---------------------------------------------------------------------------
+
+def test_eval_msc_merge_parity(R):
+    """VOC eval merge — flip-sum per scale, max over scales
+    (tools/eval_seg_voc.py:56-77) — on identical weights."""
+    from dupl_tpu.engine.eval_seg import msc_seg_logits
+
+    net, model, params = make_pair(R, seed=9)
+    x, _, _ = rand_batch(b=1, size=64, seed=10)
+    scales = (1.0, 1.5, 1.25)
+
+    ti = ref_oracle.nchw(x)
+    seg_list = []
+    with torch.no_grad():
+        for sc in scales:
+            _h, _w = int(64 * sc), int(64 * sc)
+            import torch.nn.functional as F
+            _in = F.interpolate(ti, size=[_h, _w], mode="bilinear",
+                                align_corners=False)
+            cat = torch.cat([_in, _in.flip(-1)], dim=0)
+            _, segs, _, _ = net.branch1(cat)
+            segs = F.interpolate(segs, size=(64, 64), mode="bilinear",
+                                 align_corners=False)
+            seg_list.append(segs[:1] + segs[1:].flip(-1))
+    t_merged = torch.stack(seg_list).max(0)[0]
+
+    p0 = model.branch(params, 0)
+    j_merged = msc_seg_logits(
+        lambda z: model.module.apply(p0, z).seg,
+        jnp.asarray(x), (64, 64), scales, merge="max")
+    np.testing.assert_allclose(
+        np.asarray(j_merged), ref_oracle.nhwc(t_merged), atol=2e-3)

@@ -159,10 +159,27 @@ def main():
     meter = AverageMeter()
     t0 = datetime.datetime.now()
 
-    from dupl_tpu.utils.tb import TbWriter
+    from dupl_tpu.utils.tb import TbWriter, cam_overlay_grid, image_grid
     tb = TbWriter(os.path.join(work_dir, "tb"))
     import time as _time
     step_t0 = _time.perf_counter()
+
+    # CAM-overlay grids at every log interval (reference:
+    # train_final_voc.py:493-508).  The step is jitted so its internal CAMs
+    # aren't observable; one extra no-grad CAM dispatch per log interval
+    # (compiled once) recreates them for the first few samples.
+    from dupl_tpu.ops import image as image_ops
+    cam_fn = jax.jit(lambda p, x: trainer._multi_scale_cams(p, x)[0])
+
+    def log_cam_grids(state, dev_batch, cls_label_np, step):
+        n = min(4, dev_batch["image"].shape[0])
+        imgs = dev_batch["image"][:n]
+        cams = np.asarray(cam_fn(state.params, imgs), np.float32)  # (2,n,H,W,C)
+        cams = cams * cls_label_np[None, :n, None, None, :]
+        imgs01 = np.asarray(image_ops.denormalize(imgs), np.float32)
+        tb.image("CAM/inputs", image_grid(imgs01), step)
+        tb.image("CAM/cams_1", cam_overlay_grid(imgs01, cams[0]), step)
+        tb.image("CAM/cams_2", cam_overlay_grid(imgs01, cams[1]), step)
 
     with mesh:
         state = shard_state(mesh, state)
@@ -200,6 +217,8 @@ def main():
                     tb.scalar(f"Loss/{k}", v, step + 1)
                 tb.scalar("lr", lr, step + 1)
                 tb.scalar("perf/s_per_iter", dt, step + 1)
+                if tb.enabled:
+                    log_cam_grids(state, dev_batch, batch["cls_label"], step + 1)
 
             if (step + 1) % cfg.eval_iters == 0:
                 ckpt.save_state(ckpt_dir, state)
