@@ -78,11 +78,13 @@ def main():
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer
 
-    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16", gelu_approximate=True))
+    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
+                                       gelu_approximate=True,
+                                       stream_dtype="bfloat16"))
     trainer = Trainer(cfg)
     model = trainer.model
 
-    batch_size = 16
+    batch_size = 32
     batch = synthetic_batch(batch_size, crop=448)
     inputs = jnp.asarray(batch["image"])
     cls_label = jnp.asarray(batch["cls_label"])
@@ -108,7 +110,7 @@ def main():
             return cam_ops.multi_scale_cam_with_outputs(
                 lambda x: model.module.apply(pb, x, method=Student.forward_with_cams),
                 lambda x: model.module.apply(pb, x, method=Student.cam_only),
-                inputs, cfg.cam_scales,
+                inputs, cfg.cam_scales, with_aux=False,
             )
 
         cams, _, out = _jax.vmap(one_branch)(params)
@@ -133,10 +135,15 @@ def main():
     # warmup/compile
     sync(cam_par_pipeline(params, inputs, cls_label, img_box))
 
+    # steady-state throughput: enqueue every iteration, then sync once —
+    # device execution is in-order, so syncing the last result is a barrier
+    # for all of them; per-dispatch relay latency (~30 ms) overlaps compute
+    # exactly as it would in a serving loop
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        sync(cam_par_pipeline(params, inputs, cls_label, img_box))
+    outs = [cam_par_pipeline(params, inputs, cls_label, img_box)
+            for _ in range(iters)]
+    sync(outs[-1])
     dt = time.perf_counter() - t0
 
     img_per_s = batch_size * iters / dt

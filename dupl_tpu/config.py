@@ -62,6 +62,11 @@ class ModelConfig:
     # Compute dtype for matmul-heavy paths.  Params stay float32; bfloat16 compute
     # keeps the MXU fed at full rate on TPU.
     compute_dtype: str = "bfloat16"
+    # Residual-stream dtype for the ViT blocks.  float32 for training
+    # (LayerNorm statistics and residual adds at full precision); inference
+    # pipelines set bfloat16, halving the HBM traffic between MXU matmuls
+    # (the encoder is bandwidth-bound at ~42% MFU with a float32 stream).
+    stream_dtype: str = "float32"
     # tanh-approximate GELU is ~5x cheaper on the VPU with ~1e-3 deviation;
     # training defaults to the exact erf form the backbone was trained with
     # (torch nn.GELU default); inference pipelines may enable the approximation.

@@ -47,6 +47,13 @@ class CocoDatasetBase:
         path = os.path.join(self.label_folder, _subdir(name), name + ".png")
         return np.asarray(Image.open(path))
 
+    def image_size(self, idx: int) -> Tuple[int, int]:
+        """(h, w) from the JPEG header — no pixel decode (shape bucketing)."""
+        name = self.name_list[idx]
+        with Image.open(os.path.join(self.root_dir, _subdir(name), name + ".jpg")) as im:
+            w, h = im.size
+        return (h, w)
+
 
 class CocoClsDataset(CocoDatasetBase):
     def __init__(self, root_dir: str, name_list_dir: str, split: str = "train",

@@ -60,6 +60,13 @@ class VocDatasetBase:
         img = Image.open(os.path.join(self.img_dir, name + ".jpg")).convert("RGB")
         return np.asarray(img)
 
+    def image_size(self, idx: int) -> Tuple[int, int]:
+        """(h, w) from the JPEG header — no pixel decode.  Used by the
+        native-resolution evaluator to bucket same-shape images into batches."""
+        with Image.open(os.path.join(self.img_dir, self.name_list[idx] + ".jpg")) as im:
+            w, h = im.size
+        return (h, w)
+
     def read_label(self, name: str) -> np.ndarray:
         return np.asarray(Image.open(os.path.join(self.label_dir, name + ".png")))
 

@@ -128,14 +128,38 @@ class SegEvaluator:
             indices = indices[:max_images]
 
         if self.input_mode == "native":
-            batch_size = 1  # one compile per distinct shape, images unbatched
+            # Shape bucketing: group same-shape images so native-resolution
+            # eval both batches on the MXU and compiles once per distinct
+            # image shape (VOC val is dominated by a handful of shapes, e.g.
+            # 500x375 / 375x500).  Shapes come from the JPEG headers — no
+            # pixel decode.  Order changes, scores don't (they are
+            # hist-accumulated).  Falls back to batch-1 when the dataset
+            # cannot report sizes cheaply.
+            if hasattr(dataset, "image_size"):
+                by_shape: Dict[tuple, List[int]] = {}
+                for i in indices:
+                    by_shape.setdefault(tuple(dataset.image_size(i)), []).append(i)
+                indices = [i for grp in by_shape.values() for i in grp]
+
+                def chunks():
+                    for grp in by_shape.values():
+                        for lo in range(0, len(grp), batch_size):
+                            yield grp[lo:lo + batch_size]
+            else:
+                def chunks():
+                    for i in indices:
+                        yield [i]
+        else:
+            def chunks():
+                for lo in range(0, len(indices), batch_size):
+                    yield indices[lo:lo + batch_size]
 
         def batches():
-            for lo in range(0, len(indices), batch_size):
-                chunk = indices[lo:lo + batch_size]
+            lo = 0
+            for chunk in chunks():
                 samples = [dataset[i] for i in chunk]
                 if self.input_mode == "native":
-                    imgs = jnp.asarray(samples[0]["image"])[None]
+                    imgs = jnp.stack([jnp.asarray(s["image"]) for s in samples])
                 else:
                     imgs = jnp.stack([
                         image_ops.resize_bilinear(
@@ -143,6 +167,7 @@ class SegEvaluator:
                         for s in samples
                     ])
                 yield lo, samples, imgs
+                lo += len(chunk)
 
         # ---- pass 1: raw mIoU per branch (nothing stored — streaming; the
         # reference instead spools every msc logit to .npy files,
@@ -196,10 +221,11 @@ class SegEvaluator:
                     lg = np.pad(logits, ((0, 0), (0, ph - lh), (0, pw - lw), (0, 0)),
                                 "edge")
                     probs = jax.nn.softmax(jnp.asarray(lg), axis=-1)
-                    img01 = np.pad(
-                        samples[0]["raw_image"].astype(np.float32) / 255.0,
-                        ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
-                    imgs01 = jnp.asarray(img01)[None]
+                    imgs01 = jnp.asarray(np.stack([
+                        np.pad(s["raw_image"].astype(np.float32) / 255.0,
+                               ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
+                        for s in samples
+                    ]))
                 else:
                     probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
                     imgs01 = jnp.stack([

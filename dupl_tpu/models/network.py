@@ -48,6 +48,7 @@ class Student(nn.Module):
                            gelu_approximate=self.cfg.gelu_approximate,
                            quant=self.cfg.quantized_inference,
                            remat=self.cfg.remat,
+                           stream_dtype=jnp.dtype(self.cfg.stream_dtype),
                            name="encoder")
         self.decoder = LargeFOV(
             self.cfg.num_classes, self.cfg.decoder_dim, self.cfg.decoder_dilation,

@@ -118,15 +118,20 @@ class Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
     gelu_approximate: bool = False
     quant: bool = False
+    stream_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # Pre-LN residual blocks (vit.py:156-160). LayerNorm in float32 for
-        # stability; matmul inputs cast to compute dtype inside Dense.
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        # Pre-LN residual blocks (vit.py:156-160).  The residual stream runs
+        # in ``stream_dtype``: float32 for training (LayerNorm statistics and
+        # residual adds at full precision), bfloat16 for inference pipelines —
+        # halving HBM traffic on the bandwidth-bound LN/residual/cast chain
+        # between the MXU matmuls.
+        ln_dtype = None if self.stream_dtype == jnp.float32 else self.stream_dtype
+        y = nn.LayerNorm(epsilon=1e-6, dtype=ln_dtype, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, self.dtype,
                           quant=self.quant, name="attn")(y).astype(x.dtype)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=ln_dtype, name="norm2")(x)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
                     self.gelu_approximate, quant=self.quant,
                     name="mlp")(y).astype(x.dtype)
@@ -140,6 +145,7 @@ class ViT(nn.Module):
     gelu_approximate: bool = False
     quant: bool = False
     remat: bool = False
+    stream_dtype: Dtype = jnp.float32
 
     def setup(self):
         s = self.spec
@@ -158,10 +164,12 @@ class ViT(nn.Module):
         block_cls = nn.remat(Block) if self.remat else Block
         self.blocks = [
             block_cls(s.embed_dim, s.num_heads, s.mlp_ratio, self.dtype,
-                      self.gelu_approximate, quant=self.quant, name=f"block{i}")
+                      self.gelu_approximate, quant=self.quant,
+                      stream_dtype=self.stream_dtype, name=f"block{i}")
             for i in range(s.depth)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        ln_dtype = None if self.stream_dtype == jnp.float32 else self.stream_dtype
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=ln_dtype, name="norm")
 
     def interpolated_pos_embed(self, h: int, w: int) -> jax.Array:
         """Bicubic-resize the patch position table to an (h, w) grid and
@@ -185,7 +193,7 @@ class ViT(nn.Module):
         tokens = tokens.astype(jnp.float32)
         cls = jnp.broadcast_to(self.cls_token, (b, 1, self.spec.embed_dim))
         x = jnp.concatenate([cls, tokens], axis=1)
-        x = x + self.interpolated_pos_embed(h, w)
+        x = (x + self.interpolated_pos_embed(h, w)).astype(self.stream_dtype)
 
         aux_idx = self.aux_layer % self.spec.depth
         aux = None

@@ -120,23 +120,26 @@ def multi_scale_cam_with_outputs(
     cam_fn,
     inputs: jax.Array,
     scales: Sequence[float],
+    *,
+    with_aux: bool = True,
 ):
     """Like :func:`multi_scale_cam`, but the scale-1.0 pass runs the *full*
     student forward (``Student.forward_with_cams``) so inference pipelines get
     cls/seg/fmap for free from the encoder pass the CAM fusion needs anyway.
 
     Returns (cams, cams_aux, out) where ``out`` is the StudentOut of the
-    unflipped scale-1.0 batch.
+    unflipped scale-1.0 batch.  ``with_aux=False`` skips the aux-CAM fusion
+    entirely (cams_aux is None) — inference pipelines that only need the main
+    CAM save the full-res aux resize/merge HBM traffic, and XLA dead-codes the
+    aux classifier matmuls out of the encoder passes.
     """
     b, h, w, _ = inputs.shape
     out_keep = None
 
-    def merge(cam, cam_aux):
+    def merge(cam):
         cam = image_ops.resize_bilinear(cam, (h, w))
-        cam_aux = image_ops.resize_bilinear(cam_aux, (h, w))
         cam = jnp.maximum(cam[:b], cam[b:, :, ::-1, :])
-        cam_aux = jnp.maximum(cam_aux[:b], cam_aux[b:, :, ::-1, :])
-        return jax.nn.relu(cam), jax.nn.relu(cam_aux)
+        return jax.nn.relu(cam)
 
     cam_sum = aux_sum = None
     for s in scales:
@@ -147,13 +150,13 @@ def multi_scale_cam_with_outputs(
             out_keep = jax.tree.map(lambda a: a[:b], out)
         else:
             cam, cam_aux = cam_fn(both)
-        cam, cam_aux = merge(cam, cam_aux)
-        cam_sum = cam if cam_sum is None else cam_sum + cam
-        aux_sum = cam_aux if aux_sum is None else aux_sum + cam_aux
+        cam_sum = merge(cam) if cam_sum is None else cam_sum + merge(cam)
+        if with_aux:
+            aux_sum = merge(cam_aux) if aux_sum is None else aux_sum + merge(cam_aux)
 
     return (
         image_ops.spatial_minmax_norm(cam_sum),
-        image_ops.spatial_minmax_norm(aux_sum),
+        image_ops.spatial_minmax_norm(aux_sum) if with_aux else None,
         out_keep,
     )
 
@@ -193,24 +196,26 @@ def refine_cams_with_bkg(
     b, h, w, _ = images.shape
     hs, ws = h // down_scale, w // down_scale
 
+    # Bilinear resize acts per channel and preserves constants, so
+    # resize(concat([bkg, cams])) == concat([bkg_small, resize(cams)]):
+    # resize the C_fg CAM stack ONCE and synthesise the constant background
+    # planes directly at the small size (the concat-then-resize form
+    # materialises two full-res (C_fg+1)-channel stacks for nothing).
     high = jnp.asarray(high_thre, cams.dtype)
     if high.ndim <= 1:
-        bkg_h = jnp.broadcast_to(high.reshape(-1, 1, 1, 1), (b, h, w, 1))
+        bkg_h_small = jnp.broadcast_to(high.reshape(-1, 1, 1, 1), (b, hs, ws, 1))
     else:
-        bkg_h = high
-    bkg_l = jnp.full((b, h, w, 1), low_thre, cams.dtype)
+        bkg_h_small = image_ops.resize_bilinear(high, (hs, ws))
+    bkg_l_small = jnp.full((b, hs, ws, 1), low_thre, cams.dtype)
 
     cls_with_bkg = jnp.concatenate(
         [jnp.ones((b, 1), cls_label.dtype), cls_label], axis=-1
     )
 
     images_small = image_ops.resize_bilinear(images, (hs, ws))
-    cams_h_small = image_ops.resize_bilinear(
-        jnp.concatenate([bkg_h, cams], axis=-1), (hs, ws)
-    )
-    cams_l_small = image_ops.resize_bilinear(
-        jnp.concatenate([bkg_l, cams], axis=-1), (hs, ws)
-    )
+    cams_small = image_ops.resize_bilinear(cams, (hs, ws))
+    cams_h_small = jnp.concatenate([bkg_h_small, cams_small], axis=-1)
+    cams_l_small = jnp.concatenate([bkg_l_small, cams_small], axis=-1)
 
     # Both background planes ride ONE PAR call: propagation is independent per
     # channel, so the high- and low-threshold stacks concatenate on the class

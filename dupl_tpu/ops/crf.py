@@ -8,13 +8,21 @@ headline ≥10x-throughput item (SURVEY.md §7 step 7).
 Design: the pairwise model is identical (Gaussian position kernel + bilateral
 position/color kernel, Potts compatibility, symmetric normalisation); the
 *filtering* differs.  pydensecrf approximates the dense bilateral sum with a
-permutohedral lattice; here it is approximated Nystrom-style with a
-downsampled pivot set: messages to every full-res pixel are computed exactly
-against ``(H/s)·(W/s)`` cell-pooled pivots via two MXU matmuls per iteration
-(|Δf|² expanded as |a|² + |b|² - 2a·b).  With σ_xy = 121 the kernel varies
-slowly over an s=8 cell, so pooling costs little fidelity in exactly the
-regime the huge spatial std creates.  The σ_xy = 1 position kernel is a local
-5x5 convolution at full resolution.
+permutohedral lattice; here each ``s x s`` cell of the image is summarised as
+a Gaussian blob in the 5-D bilateral feature space (mean μ_j + per-dim
+variance σ²_j) and messages to every full-res pixel are computed against the
+blobs with the analytically *moment-matched* kernel
+
+    E_{j'∈cell}[exp(-|f_i - f_j'|²/2)]
+      ≈ ∏_d (1+σ²_jd)^(-1/2) · exp(-½ Σ_d (f_id - μ_jd)²/(1+σ²_jd)),
+
+which stays one MXU matmul per application (the quadratic form expands over
+the basis (f², f, 1) — an 11-wide matmul for d=5).  Plain cell-mean pivots
+(the round-1 design) underestimate kernel mass badly on textured cells where
+the σ_rgb = 5 color kernel is much sharper than the within-cell color spread;
+moment matching adapts per cell and was validated against the permutohedral
+oracle on 21-class textured scenes (tests/test_crf.py).  The σ_xy = 1
+position kernel is a local 5x5 convolution at full resolution.
 
 Exact parity target is mIoU gain, not marginals (SURVEY.md §7 "CRF fidelity");
 the oracle for validation is the native permutohedral implementation
@@ -102,45 +110,62 @@ def mean_field_crf(
 
     def one_image(img: jax.Array, p: jax.Array) -> jax.Array:
         feat = _features(img, bi_xy_std, bi_rgb_std)          # (H, W, 5)
-        fs = _pool(feat, s).reshape(-1, 5)                     # (Ns, 5)
-        cnt = jnp.full((fs.shape[0], 1), float(s * s))         # pixels per cell
+        # per-cell Gaussian blobs: mean + per-dim variance (moment matching)
+        mu = _pool(feat, s).reshape(-1, 5)                     # (Ns, 5)
+        m2 = _pool(feat * feat, s).reshape(-1, 5)
+        sig2 = jnp.maximum(m2 - mu * mu, 0.0)                  # (Ns, 5)
+        prec = 1.0 / (1.0 + sig2)                              # (Ns, 5)
+        logc = -0.5 * jnp.sum(jnp.log1p(sig2), axis=-1)        # (Ns,)
+        # K[i, j] = c_j · exp(-½ Σ_d prec_jd (f_id - μ_jd)²); the quadratic
+        # form expands over the basis (f², f, 1) so the kernel build is ONE
+        # (N, 11) @ (11, Ns) matmul (two skinny matmuls measured ~2x slower)
+        coef = jnp.concatenate([
+            -0.5 * prec,                                       # · f²
+            prec * mu,                                         # · f
+            (-0.5 * jnp.sum(prec * mu * mu, axis=-1) + logc)[:, None],
+        ], axis=-1).T                                          # (11, Ns)
+        cnt = jnp.full((mu.shape[0], 1), float(s * s))         # pixels per cell
         f_full = feat.reshape(-1, 5)                           # (N, 5)
-        sq_full = jnp.sum(f_full * f_full, axis=-1, keepdims=True)
-        sq_small = jnp.sum(fs * fs, axis=-1)[None, :]
+        basis_full = jnp.concatenate(
+            [f_full * f_full, f_full, jnp.ones((h * w, 1), jnp.float32)], axis=-1)
 
         def cross_apply(values_small: jax.Array) -> jax.Array:
             """K_cross @ values_small, tiled over pixel rows.
             values_small: (Ns, V) -> (N, V)."""
 
-            def tile_fn(args):
-                ft, sqt = args  # (T, 5), (T, 1)
-                d2 = sqt + sq_small - 2.0 * jnp.dot(
-                    ft, fs.T, preferred_element_type=jnp.float32)
-                k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+            def tile_fn(bt):
+                logk = jnp.dot(bt, coef, preferred_element_type=jnp.float32)
+                # d² ≥ 0 analytically, so log k ≤ logc; clamp numerical noise
+                k = jnp.exp(jnp.minimum(logk, logc[None, :]))
                 return jnp.dot(k, values_small,
                                preferred_element_type=jnp.float32)
 
             n_tiles = h // row_chunk
-            ft = f_full.reshape(n_tiles, row_chunk * w, 5)
-            sqt = sq_full.reshape(n_tiles, row_chunk * w, 1)
-            out = jax.lax.map(tile_fn, (ft, sqt))
+            bt = basis_full.reshape(n_tiles, row_chunk * w, 11)
+            out = jax.lax.map(tile_fn, bt)
             return out.reshape(h * w, -1)
-
-        # degree for symmetric normalisation (computed once):
-        # deg_i = sum_j k(i, j) ~= sum_pivots k(i, j') * s^2
-        deg_full = cross_apply(cnt)[:, 0]                     # (N,)
-        inv_sqrt_full = jax.lax.rsqrt(jnp.maximum(deg_full, 1e-12))
 
         unary = -jnp.log(jnp.maximum(p, 1e-20))
         q = p
 
+        # degree for symmetric normalisation (computed once):
+        # deg_i = sum_j k(i, j) ~= sum_cells s² · E_cell[k(i, ·)]
+        deg_full = cross_apply(cnt)[:, 0]                     # (N,)
+        inv_sqrt_full = jax.lax.rsqrt(jnp.maximum(deg_full, 1e-12))
+
         if fast:
-            # iterate entirely on the pivot lattice, slice once at the end
+            # iterate entirely on the pivot lattice with the pivot-to-blob
+            # kernel (query pivot as a point at its mean — the full blob-blob
+            # precision would not be a matmul), slice to full res once at the
+            # end.  The iteration-time degree is the pooled full-res degree:
+            # pivot-level degrees under-estimate within-cell smoothing and
+            # drift from the full mode (measured ~full 0.93 vs 0.96 on the
+            # 21-class textured fixtures).
+            basis_small = jnp.concatenate(
+                [mu * mu, mu, jnp.ones((mu.shape[0], 1), jnp.float32)], axis=-1)
+            ks = jnp.exp(jnp.minimum(basis_small @ coef, logc[None, :]))
             us = _pool(unary, s).reshape(-1, c)
             invf_small = _pool(inv_sqrt_full.reshape(h, w, 1), s).reshape(-1)
-            ks = jnp.exp(-0.5 * jnp.maximum(
-                jnp.sum(fs * fs, -1)[:, None] + sq_small
-                - 2.0 * jnp.dot(fs, fs.T, preferred_element_type=jnp.float32), 0.0))
 
             def small_body(_, qs):
                 m = (ks @ (qs * (invf_small * s * s)[:, None])) * invf_small[:, None]

@@ -38,12 +38,29 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded over ``data``.
+
+    Multi-process (pod-slice) runs: each process's loader yields only its own
+    ``global_batch / process_count`` slice (`tools/train.py` passes
+    shard=process_index to the loader), so the global array must be assembled
+    from process-local shards — ``jax.device_put`` of a host-local array onto a
+    non-addressable mesh is wrong there (reference equivalent: DDP's
+    per-rank batches, train_final_voc.py:127).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree):
     sh = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 

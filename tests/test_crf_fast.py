@@ -18,3 +18,20 @@ def test_fast_mode_label_agreement(rng):
         *args, downsample=8, row_chunk=8, fast=True))[0].argmax(-1)
     assert (full == fast).mean() > 0.98
     assert (fast == gt).mean() > 0.99
+
+
+def test_fast_mode_21class_448(rng):
+    """The mode bench.py actually measures, at the eval resolution, on the
+    hard 21-class textured fixture: fast must track the full mode and still
+    clean the unaries (VERDICT r1 item 4 — bound fidelity in tests)."""
+    from tests.test_crf import voc_scene
+
+    img, probs, gt = voc_scene(rng, 448, 448, noise=12)
+    args = (jnp.asarray(img[None], jnp.float32) / 255.0,
+            jnp.asarray(probs.transpose(1, 2, 0)[None]))
+    full = np.asarray(crf_ops.mean_field_crf(
+        *args, downsample=8, row_chunk=56))[0].argmax(-1)
+    fast = np.asarray(crf_ops.mean_field_crf(
+        *args, downsample=8, row_chunk=56, fast=True))[0].argmax(-1)
+    assert (full == fast).mean() > 0.95
+    assert (fast == gt).mean() > (probs.argmax(0) == gt).mean() + 0.1
