@@ -74,13 +74,16 @@ def main():
     from dupl_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from dupl_tpu.config import voc_config, ModelConfig
+    from dupl_tpu.config import voc_config, ModelConfig, ParConfig
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer
 
     cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
                                        gelu_approximate=True,
-                                       stream_dtype="bfloat16"))
+                                       stream_dtype="bfloat16"),
+                     # inference-only PAR fast path (f32-accumulated bf16
+                     # taps; argmax-stable, tests/test_par_pallas.py)
+                     par=ParConfig(compute_dtype="bfloat16"))
     trainer = Trainer(cfg)
     model = trainer.model
 
@@ -111,6 +114,7 @@ def main():
                 lambda x: model.module.apply(pb, x, method=Student.forward_with_cams),
                 lambda x: model.module.apply(pb, x, method=Student.cam_only),
                 inputs, cfg.cam_scales, with_aux=False,
+                merge_size=(inputs.shape[1] // 2, inputs.shape[2] // 2),
             )
 
         cams, _, out = _jax.vmap(one_branch)(params)

@@ -113,6 +113,8 @@ class ParConfig:
     w1: float = 0.3                              # rgb affinity bandwidth
     w2: float = 0.01                             # position-affinity mix-in
     down_scale: int = 2                          # run PAR at half image res
+    compute_dtype: str = "float32"               # "bfloat16": inference-only
+                                                 # fast path (f32-accumulated)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,7 +127,7 @@ class Trainer:
         p = self.cfg.par
         return par_ops.par_refine(
             imgs, masks, dilations=tuple(p.dilations), num_iter=p.num_iter,
-            w1=p.w1, w2=p.w2,
+            w1=p.w1, w2=p.w2, compute_dtype=p.compute_dtype,
         )
 
     def _refine(self, cams, inputs_denorm, cls_label, img_box, high_thre):

@@ -1,21 +1,34 @@
 """Attention dispatch, tuned per sequence length on v5e.
 
 At DuPL's sizes (ViT-B/16, 197-1765 tokens, head_dim 64) attention is
-VPU-softmax-bound, not MXU-bound: every kernel tried (Pallas flash, splash,
-XLA fused, raw einsum) plateaus at 13-19 TFLOPS at N=785 because the
+VPU-softmax-bound, not MXU-bound: every generic kernel tried (Pallas flash,
+splash, XLA fused, raw einsum) plateaus at 13-19 TFLOPS at N=785 because the
 B·H·N² exp/max/sum work dominates the two head_dim-64 matmuls.  Measured
 in-jit on the live chip (ms per application, 64 seqs x 12 heads):
 
     N=785:  raw einsum + bf16 softmax 6.5 | flash bq=448 7.2 | XLA dpa 9.6
     N=1765: XLA dpa 13.0 | flash bq=448 15.7 | raw 19.3 | splash 40
 
-Dispatch: mid-length sequences use the raw einsum with a bf16 softmax
-(fp32-accumulated denominator) — materialising the (B, H, N, N) scores in
-bf16 is cheaper than flash's tile bookkeeping here.  Long sequences use the
-Pallas flash kernel: XLA's fused attention is ~17% faster per-op but
-materialises the score tensor (~10 GB at inference batch 32 x 1792 tokens),
-while flash keeps running max/sum statistics in VMEM.  Sequences are padded
-to a block multiple with segment-id masking so padded keys get zero weight.
+Dispatch: mid-length sequences ([512, 1024)) use the raw einsum with a bf16
+softmax; long sequences ([1024, 2048)) use :func:`exp_attention` — a max-free
+single-pass Pallas kernel exploiting two properties of this regime that the
+generic kernels cannot assume:
+
+* K and V for a whole (batch, head) fit in VMEM (1792 x 64 bf16 = 229 KB
+  each), so each query block computes ``exp(q·kᵀ)`` against ALL keys at once:
+  no K-loop, no running-max/denominator rescaling bookkeeping (flash), and no
+  HBM score materialisation (raw einsum / XLA dpa, ~10 GB at inference
+  batch 32 x 1792 tokens).
+* softmax(x) = exp(x)/Σexp(x) without the max subtraction, which removes one
+  full pass over the B·H·N² scores.  Unnormalised exp is safe here: ViT
+  attention logits are bounded far below fp32's exp overflow (~88), and the
+  kernel clamps at 60 as a hard backstop (distortion only if a logit exceeds
+  60 — never observed in DeiT/ViT-B).
+
+The kernel carries a ``jax.custom_vjp`` whose backward recomputes through the
+pure-XLA reference formulation, so the grad path (448-crop training forwards)
+uses it too.  Outside its window: XLA fused attention below 512 (scores are
+small), Pallas flash above 2048 (K/V no longer VMEM-resident).
 """
 
 from __future__ import annotations
@@ -25,8 +38,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_RAW_MIN_SEQ = 512     # below: XLA fused attention (scores are small)
-_FLASH_MIN_SEQ = 1024  # above: flash (raw scores too big, dpa materialises)
+_EXP_MIN_SEQ = 512    # below: XLA fused attention (scores are small)
+_EXP_MAX_SEQ = 2048   # above: flash (K/V no longer VMEM-resident)
+_LOGIT_CLAMP = 60.0
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -45,9 +59,116 @@ def _use_flash_backend() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _exp_attention_ref(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Pure-XLA reference for the exp-attention kernel: q pre-scaled,
+    inputs/outputs (BH, N, D).  Used for the custom-vjp backward (recompute)
+    and for kernel parity tests."""
+    s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.bfloat16),
+                   k.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.einsum("bnm,bmd->bnd", e.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out / denom
+
+
+def _exp_attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_pad: int):
+    """Padding is handled by arithmetic, not masking: zero-padded K columns
+    score s=0 → e=1, contributing exactly ``n_pad`` to each row's denominator
+    (subtracted below); zero-padded V rows contribute nothing to e@V.  This
+    keeps the per-score VPU work at min+exp — a mask (iota/compare/select)
+    tripled it."""
+    q = q_ref[0]                                   # (bq, D) bf16, pre-scaled
+    kt = kt_ref[0]                                 # (D, Np) bf16, pre-transposed
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))      # fp32 (bq, Np)
+    denom = jnp.sum(e, axis=1, keepdims=True) - float(n_pad)
+    pv = jax.lax.dot_general(e.astype(jnp.bfloat16), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _exp_attention_bhnd(q: jax.Array, k: jax.Array, v: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """q (pre-scaled), k, v: (BH, N, D) bf16 -> (BH, N, D) fp32.
+
+    K rides pre-transposed to (BH, D, N): an in-kernel transpose (contraction
+    on k's minor dim) compiles to a per-program VMEM shuffle that dominated
+    the runtime in the first version of this kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n, d = q.shape
+    np_ = _pad_to(n, 128)
+    bq = _block_q(np_)
+
+    def padn(x):
+        return jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+
+    qp, vp = padn(q), padn(v)
+    ktp = jnp.pad(k.transpose(0, 2, 1), ((0, 0), (0, 0), (0, np_ - n)))
+    out = pl.pallas_call(
+        functools.partial(_exp_attn_kernel, n_pad=np_ - n),
+        grid=(bh, np_ // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, np_), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, np_, d), jnp.float32),
+        interpret=interpret,
+    )(qp, ktp, vp)
+    return out[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _exp_attention(q, k, v, interpret=False):
+    return _exp_attention_bhnd(q, k, v, interpret=interpret)
+
+
+def _exp_attention_fwd(q, k, v, interpret):
+    return _exp_attention_bhnd(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _exp_attention_bwd(interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_exp_attention_ref, q, k, v)
+    return vjp(g)
+
+
+_exp_attention.defvjp(_exp_attention_fwd, _exp_attention_bwd)
+
+
+def exp_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float,
+                  interpret: bool = False) -> jax.Array:
+    """Max-free single-pass attention; q, k, v: (B, N, H, D) -> same."""
+    b, n, h, d = q.shape
+
+    def to_bhnd(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, n, d).astype(jnp.bfloat16)
+
+    out = _exp_attention((to_bhnd(q) * scale).astype(jnp.bfloat16),
+                         to_bhnd(k), to_bhnd(v), interpret)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def _raw_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """Materialised-scores attention with a bf16 softmax whose denominator
-    accumulates in fp32 (sum of ≤2k bf16 terms in bf16 would lose ~1%)."""
+    accumulates in fp32 (sum of ≤2k bf16 terms in bf16 would lose ~1%).
+    Fastest option for mid-length sequences (6.5 ms vs exp-kernel 8.4 /
+    flash 7.2 at N=785 x 64 seqs): at these sizes the bf16 score roundtrip
+    costs less than any kernel's bookkeeping, and XLA fuses exp into the
+    score consumer chain."""
     s = jnp.einsum("bnhd,bmhd->bhnm", (q * scale).astype(jnp.bfloat16),
                    k.astype(jnp.bfloat16))
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -61,10 +182,19 @@ def _raw_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> ja
 def dot_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> jax.Array:
     """q, k, v: (B, N, H, D) -> (B, N, H, D)."""
     b, n, h, d = q.shape
-    if not _use_flash_backend() or n < _RAW_MIN_SEQ:
+    if not _use_flash_backend() or n < _EXP_MIN_SEQ:
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
-    if n < _FLASH_MIN_SEQ:
+    if n < 1024:
         return _raw_attention(q, k, v, scale)
+    if n < _EXP_MAX_SEQ:
+        # Isolated per-op timing favours XLA's fused attention here (12.1 ms
+        # vs exp-kernel 20.2 net at N=1765 x 64 seqs x 12 heads), but inside
+        # the real vmapped inference pipeline it is ~2x SLOWER (scale-1.5
+        # cam_only 691 ms vs 346 ms, batch 16): the fp32 (B, H, N, N) score
+        # tensor (~9.6 GB) thrashes HBM alongside the live activations.  The
+        # VMEM-resident exp kernel wins where it matters; trust the pipeline
+        # measurement, not the micro-bench.
+        return exp_attention(q, k, v, scale=scale)
 
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 

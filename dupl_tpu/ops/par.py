@@ -123,7 +123,8 @@ def propagate(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilations", "num_iter", "w1", "w2", "use_pallas"))
+    jax.jit, static_argnames=("dilations", "num_iter", "w1", "w2",
+                              "use_pallas", "compute_dtype"))
 def par_refine(
     imgs: jax.Array,
     masks: jax.Array,
@@ -132,6 +133,7 @@ def par_refine(
     w1: float = 0.3,
     w2: float = 0.01,
     use_pallas: bool = None,
+    compute_dtype: str = "float32",
 ) -> jax.Array:
     """Full PAR forward: affinity from ``imgs`` then ``num_iter`` propagation
     steps on ``masks`` (both (B, H, W, ·), same spatial size).
@@ -145,5 +147,6 @@ def par_refine(
     if use_pallas:
         from dupl_tpu.ops.par_pallas import propagate_pallas
         return propagate_pallas(masks.astype(jnp.float32), aff,
-                                tuple(dilations), num_iter)
+                                tuple(dilations), num_iter,
+                                compute_dtype=compute_dtype)
     return propagate(masks.astype(jnp.float32), aff, tuple(dilations), num_iter)

@@ -109,3 +109,48 @@ def test_box_mask():
     expect = np.zeros((1, 4, 4), bool)
     expect[0, 1:3, 0:2] = True
     np.testing.assert_array_equal(m, expect)
+
+
+def test_merge_at_par_resolution_label_agreement(rng):
+    """The inference pipeline merges multi-scale CAMs directly at the PAR
+    refinement resolution (input/2) instead of the input resolution the
+    reference uses (whose merge is immediately downscaled again by
+    refine_cams_with_bkg).  The deviation is a resampling-order effect only;
+    the refined pseudo-labels must agree >99%."""
+    import jax
+    from dupl_tpu.ops import par as par_ops
+
+    b, h = 2, 128
+    # smooth synthetic images: low-frequency noise upsampled
+    base = rng.rand(b, 8, 8, 3).astype(np.float32)
+    imgs01 = np.asarray(image_ops.resize_bilinear(jnp.asarray(base), (h, h)))
+    proj = jnp.asarray(rng.randn(3, 6).astype(np.float32))
+
+    def cam_fn(z):
+        # patch-res "CAM": 16x16 mean-pool + fixed projection (flip-consistent)
+        bb, hh, ww, _ = z.shape
+        p = z.reshape(bb, hh // 16, 16, ww // 16, 16, 3).mean(axis=(2, 4))
+        cam = jax.nn.relu(jnp.einsum("bhwc,cf->bhwf", p, proj))
+        return cam, cam
+
+    def full_fn(z):
+        cam, aux = cam_fn(z)
+        return cam, cam, aux  # "out" stands in as any pytree
+
+    cls = jnp.ones((b, 6), jnp.float32)
+    box = jnp.asarray([[0, h, 0, h]] * b, jnp.int32)
+
+    def par_fn(im, masks):
+        return par_ops.par_refine(im, masks, num_iter=2, use_pallas=False)
+
+    labels = {}
+    for ms in (None, (h // 2, h // 2)):
+        cams, _, _ = cam_ops.multi_scale_cam_with_outputs(
+            full_fn, cam_fn, jnp.asarray(imgs01), (1.0, 0.5),
+            with_aux=False, merge_size=ms)
+        labels[ms] = np.asarray(cam_ops.refine_cams_with_bkg(
+            par_fn, jnp.asarray(imgs01), cams * cls[:, None, None, :], cls,
+            high_thre=0.7, low_thre=0.25, img_box=box, down_scale=2))
+
+    agree = (labels[None] == labels[(h // 2, h // 2)]).mean()
+    assert agree > 0.99, f"merge-resolution label agreement {agree:.4f}"

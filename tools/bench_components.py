@@ -42,7 +42,7 @@ def main():
 
     from dupl_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from dupl_tpu.config import voc_config, ModelConfig
+    from dupl_tpu.config import voc_config, ModelConfig, ParConfig
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer
     from dupl_tpu.models.network import Student
@@ -53,7 +53,8 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
     cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
                                        gelu_approximate=True,
-                                       stream_dtype="bfloat16"))
+                                       stream_dtype="bfloat16"),
+                     par=ParConfig(compute_dtype="bfloat16"))
     trainer = Trainer(cfg)
     model = trainer.model
 
@@ -93,7 +94,8 @@ def main():
             return cam_ops.multi_scale_cam_with_outputs(
                 lambda x: model.module.apply(pb, x, method=Student.forward_with_cams),
                 lambda x: model.module.apply(pb, x, method=Student.cam_only),
-                inputs, cfg.cam_scales, with_aux=False)
+                inputs, cfg.cam_scales, with_aux=False,
+                merge_size=(inputs.shape[1] // 2, inputs.shape[2] // 2))
         return jax.vmap(one_branch)(params)
 
     dt = timeit(msc, params, inputs, iters=args.iters)
@@ -113,6 +115,24 @@ def main():
     report["par_refine"] = dt
     print(f"PAR refine (2 branches, 2 planes): {dt*1e3:.1f} ms")
 
+    # PAR sub-pieces at the refine working size (2 branches folded into batch)
+    from dupl_tpu.ops import par as par_ops
+    from dupl_tpu.ops.par_pallas import propagate_pallas
+    hs = 448 // cfg.par.down_scale
+    img_small = jnp.zeros((2 * b, hs, hs, 3), jnp.float32)
+    masks42 = jnp.zeros((2 * b, hs, hs, 2 * cfg.num_classes), jnp.float32)
+
+    aff_fn = jax.jit(lambda im: par_ops.rgb_affinity(im, tuple(cfg.par.dilations),
+                                                     cfg.par.w1, cfg.par.w2))
+    dt = timeit(aff_fn, img_small, iters=args.iters)
+    print(f"  par affinity ({2*b},{hs},{hs}): {dt*1e3:.1f} ms")
+    aff = aff_fn(img_small)
+    prop_fn = jax.jit(lambda m, a: propagate_pallas(
+        m, a, tuple(cfg.par.dilations), cfg.par.num_iter,
+        compute_dtype=cfg.par.compute_dtype))
+    dt = timeit(prop_fn, masks42, aff, iters=args.iters)
+    print(f"  par propagate ({2*b},{hs},{hs},{2*cfg.num_classes}) x10: {dt*1e3:.1f} ms")
+
     # --- seg resize + CRF (fast mode)
     @jax.jit
     def crf(denorm, seg):
@@ -131,7 +151,8 @@ def main():
             return cam_ops.multi_scale_cam_with_outputs(
                 lambda x: model.module.apply(pb, x, method=Student.forward_with_cams),
                 lambda x: model.module.apply(pb, x, method=Student.cam_only),
-                inputs, cfg.cam_scales, with_aux=False)
+                inputs, cfg.cam_scales, with_aux=False,
+                merge_size=(inputs.shape[1] // 2, inputs.shape[2] // 2))
         cams, _, out = jax.vmap(one_branch)(params)
         denorm = image_ops.denormalize(inputs)
         refined = trainer._refine(cams, denorm, cls_label, img_box,
