@@ -9,10 +9,9 @@ in-jit on the live chip (ms per application, 64 seqs x 12 heads):
     N=785:  raw einsum + bf16 softmax 6.5 | flash bq=448 7.2 | XLA dpa 9.6
     N=1765: XLA dpa 13.0 | flash bq=448 15.7 | raw 19.3 | splash 40
 
-Dispatch: mid-length sequences ([512, 1024)) use the raw einsum with a bf16
-softmax; long sequences ([1024, 2048)) use :func:`exp_attention` — a max-free
-single-pass Pallas kernel exploiting two properties of this regime that the
-generic kernels cannot assume:
+Dispatch: every TPU sequence in [128, 2048) uses :func:`exp_attention` — a
+max-free single-pass Pallas kernel exploiting two properties of this regime
+that the generic kernels cannot assume:
 
 * K and V for a whole (batch, head) fit in VMEM (1792 x 64 bf16 = 229 KB
   each), so each query block computes ``exp(q·kᵀ)`` against ALL keys at once:
@@ -27,8 +26,15 @@ generic kernels cannot assume:
 
 The kernel carries a ``jax.custom_vjp`` whose backward recomputes through the
 pure-XLA reference formulation, so the grad path (448-crop training forwards)
-uses it too.  Outside its window: XLA fused attention below 512 (scores are
-small), Pallas flash above 2048 (K/V no longer VMEM-resident).
+uses it too.  Outside its window: XLA fused attention below 128 (cls-token
+scale tests only), Pallas flash above 2048 (K/V no longer VMEM-resident).
+
+In-pipeline measurements (tools/bench_components.py, batch 16, the authority
+— isolated micro-benchmarks disagree BOTH ways at these sizes; e.g. XLA's
+fused attention looks 1.7x faster than this kernel at N=1765 in isolation but
+is 2x slower inside the vmapped pipeline where its fp32 score tensor thrashes
+HBM): cam_only scale-1.0 206 -> 162 ms and scale-0.5 58 -> 53 ms vs the raw
+bf16-softmax einsum; scale-1.5 691 (XLA dpa) / 346 (this kernel).
 """
 
 from __future__ import annotations
@@ -38,7 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_EXP_MIN_SEQ = 512    # below: XLA fused attention (scores are small)
+_EXP_MIN_SEQ = 128    # below: XLA fused attention (scores are small)
 _EXP_MAX_SEQ = 2048   # above: flash (K/V no longer VMEM-resident)
 _LOGIT_CLAMP = 60.0
 
@@ -48,6 +54,13 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def _block_q(n_padded: int) -> int:
+    # Full-row query blocks measure fastest for the exp kernel (15.8 vs 16.2
+    # ms/layer at N=1792, 7.2 vs 7.5 at 896: fewer grid programs, K/V fetched
+    # once).  The fp32 score block n² x 4 B stays ≤ 16.8 MB at the 2048-token
+    # kernel ceiling.  The flash path (> 2048 tokens) still wants bounded
+    # blocks.
+    if n_padded <= 2048:
+        return n_padded
     for b in (512, 448, 256, 128):
         if n_padded % b == 0:
             return b
@@ -162,38 +175,12 @@ def exp_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float,
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3).astype(q.dtype)
 
 
-def _raw_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    """Materialised-scores attention with a bf16 softmax whose denominator
-    accumulates in fp32 (sum of ≤2k bf16 terms in bf16 would lose ~1%).
-    Fastest option for mid-length sequences (6.5 ms vs exp-kernel 8.4 /
-    flash 7.2 at N=785 x 64 seqs): at these sizes the bf16 score roundtrip
-    costs less than any kernel's bookkeeping, and XLA fuses exp into the
-    score consumer chain."""
-    s = jnp.einsum("bnhd,bmhd->bhnm", (q * scale).astype(jnp.bfloat16),
-                   k.astype(jnp.bfloat16))
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp((s - m).astype(jnp.float32)).astype(jnp.bfloat16)
-    denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-    p = (e * (1.0 / denom)).astype(jnp.bfloat16)
-    out = jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.bfloat16))
-    return out.astype(q.dtype)
-
-
 def dot_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> jax.Array:
     """q, k, v: (B, N, H, D) -> (B, N, H, D)."""
     b, n, h, d = q.shape
     if not _use_flash_backend() or n < _EXP_MIN_SEQ:
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
-    if n < 1024:
-        return _raw_attention(q, k, v, scale)
     if n < _EXP_MAX_SEQ:
-        # Isolated per-op timing favours XLA's fused attention here (12.1 ms
-        # vs exp-kernel 20.2 net at N=1765 x 64 seqs x 12 heads), but inside
-        # the real vmapped inference pipeline it is ~2x SLOWER (scale-1.5
-        # cam_only 691 ms vs 346 ms, batch 16): the fp32 (B, H, N, N) score
-        # tensor (~9.6 GB) thrashes HBM alongside the live activations.  The
-        # VMEM-resident exp kernel wins where it matters; trust the pipeline
-        # measurement, not the micro-bench.
         return exp_attention(q, k, v, scale=scale)
 
     from jax.experimental.pallas.ops.tpu import flash_attention as fa

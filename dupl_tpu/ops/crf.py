@@ -152,24 +152,36 @@ def mean_field_crf(
         unary = -jnp.log(jnp.maximum(p, 1e-20))
         q = p
 
-        # degree for symmetric normalisation (computed once):
-        # deg_i = sum_j k(i, j) ~= sum_cells s² · E_cell[k(i, ·)]
-        deg_full = cross_apply(cnt)[:, 0]                     # (N,)
-        inv_sqrt_full = jax.lax.rsqrt(jnp.maximum(deg_full, 1e-12))
-
         if fast:
             # iterate entirely on the pivot lattice with the pivot-to-blob
             # kernel (query pivot as a point at its mean — the full blob-blob
             # precision would not be a matmul), slice to full res once at the
-            # end.  The iteration-time degree is the pooled full-res degree:
-            # pivot-level degrees under-estimate within-cell smoothing and
-            # drift from the full mode (measured ~full 0.93 vs 0.96 on the
-            # 21-class textured fixtures).
+            # end.  The iteration-time degree is an exact blob↔blob
+            # moment-matched degree (E over BOTH cells' Gaussians): tiny
+            # (Ns², chunked) and closer to the full mode than pivot-point
+            # degrees, and it removes the full-res degree pass entirely —
+            # the final slice recovers the full-res degree as one extra
+            # value column of the kernel apply it performs anyway, halving
+            # the dominant full-res kernel-build exp() volume.
             basis_small = jnp.concatenate(
                 [mu * mu, mu, jnp.ones((mu.shape[0], 1), jnp.float32)], axis=-1)
             ks = jnp.exp(jnp.minimum(basis_small @ coef, logc[None, :]))
             us = _pool(unary, s).reshape(-1, c)
-            invf_small = _pool(inv_sqrt_full.reshape(h, w, 1), s).reshape(-1)
+
+            def _bb_degree(mu_c, sig2_c):
+                var = 1.0 + sig2_c[:, None, :] + sig2[None, :, :]
+                d2 = (mu_c[:, None, :] - mu[None, :, :]) ** 2
+                k_bb = jnp.exp(-0.5 * jnp.sum(d2 / var, -1)) * jax.lax.rsqrt(
+                    jnp.prod(var, -1))
+                return (k_bb @ cnt)[:, 0]
+
+            ns = mu.shape[0]
+            chunk = 512 if ns % 512 == 0 else ns
+            deg_small = jax.lax.map(
+                lambda ab: _bb_degree(*ab),
+                (mu.reshape(-1, chunk, 5), sig2.reshape(-1, chunk, 5)),
+            ).reshape(ns)
+            invf_small = jax.lax.rsqrt(jnp.maximum(deg_small, 1e-12))
 
             def small_body(_, qs):
                 m = (ks @ (qs * (invf_small * s * s)[:, None])) * invf_small[:, None]
@@ -177,13 +189,24 @@ def mean_field_crf(
 
             qs = jax.lax.fori_loop(0, iters - 1, small_body, _pool(p, s).reshape(-1, c))
 
-            # final full-res update: bilateral slice + local position kernel
-            m_bi = cross_apply(qs * (invf_small * s * s)[:, None])
-            m_bi = (m_bi * inv_sqrt_full[:, None]).reshape(h, w, c)
+            # final full-res update: bilateral slice + local position kernel;
+            # cnt rides as an extra value column so the full-res degree comes
+            # out of the same kernel build
+            vals = jnp.concatenate(
+                [qs * (invf_small * s * s)[:, None], cnt], axis=-1)
+            out_cols = cross_apply(vals)
+            inv_sqrt_full = jax.lax.rsqrt(
+                jnp.maximum(out_cols[:, c], 1e-12))
+            m_bi = (out_cols[:, :c] * inv_sqrt_full[:, None]).reshape(h, w, c)
             q_up = jax.image.resize(qs.reshape(h // s, w // s, c), (h, w, c),
                                     method="nearest")
             m_pos = _pos_message(q_up, pos_xy_std)
             return jax.nn.softmax(-unary + bi_w * m_bi + pos_w * m_pos, axis=-1)
+
+        # degree for symmetric normalisation (computed once):
+        # deg_i = sum_j k(i, j) ~= sum_cells s² · E_cell[k(i, ·)]
+        deg_full = cross_apply(cnt)[:, 0]                     # (N,)
+        inv_sqrt_full = jax.lax.rsqrt(jnp.maximum(deg_full, 1e-12))
 
         def body(_, q):
             # bilateral message: D^-1/2 K D^-1/2 q, pivot-approximated as

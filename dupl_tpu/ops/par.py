@@ -64,6 +64,7 @@ def rgb_affinity(
     dilations: Sequence[int] = (1, 2, 4, 8, 12, 24),
     w1: float = 0.3,
     w2: float = 0.01,
+    compute_dtype: str = "float32",
 ) -> jax.Array:
     """Per-pixel 48-tap affinity (reference: model/PAR.py:69-85).
 
@@ -73,26 +74,35 @@ def rgb_affinity(
     Streaming two-pass formulation: accumulate Σx and Σx² over taps for the
     unbiased std, then a second pass for the softmax — never materialises the
     (B, H, W, 48, 3) tensor outside of XLA fusion.
+
+    ``compute_dtype="bfloat16"`` reads the padded tap source in bf16 (half
+    the dominant HBM traffic of the 96 tap reads) while every reduction —
+    Σx/Σx², the z² channel mean, the softmax — accumulates in f32; pixel
+    values in [0, 1] lose <0.4% to the cast, argmax-stable downstream.
     """
     imgs = imgs.astype(jnp.float32)
     b, h, w, c = imgs.shape
+    cdt = jnp.dtype(compute_dtype)
     k = 8 * len(dilations)
     dmax = max(dilations)
-    xp = jnp.pad(imgs, ((0, 0), (dmax, dmax), (dmax, dmax), (0, 0)), mode="edge")
+    xp = jnp.pad(imgs, ((0, 0), (dmax, dmax), (dmax, dmax), (0, 0)),
+                 mode="edge").astype(cdt)
     shape = (b, h, w, c)
 
     s1 = jnp.zeros(shape, jnp.float32)
     s2 = jnp.zeros(shape, jnp.float32)
     for t in _taps(xp, shape, dmax, dilations):
+        t = t.astype(jnp.float32)
         s1 = s1 + t
         s2 = s2 + t * t
     mean = s1 / k
     var = jnp.maximum(s2 - k * mean * mean, 0.0) / (k - 1)
     inv = 1.0 / ((jnp.sqrt(var) + 1e-8) * w1)  # (B,H,W,3)
 
+    imgs_c = imgs.astype(cdt)
     logits = []
     for t in _taps(xp, shape, dmax, dilations):
-        z = jnp.abs(t - imgs) * inv
+        z = jnp.abs(t - imgs_c).astype(jnp.float32) * inv
         logits.append(-jnp.mean(z * z, axis=-1))  # channel mean -> (B,H,W)
     logits = jnp.stack(logits, axis=-1)  # (B,H,W,48)
     aff = jax.nn.softmax(logits, axis=-1)
@@ -141,7 +151,7 @@ def par_refine(
     On TPU the propagation runs as the Pallas kernel
     (``dupl_tpu.ops.par_pallas``); elsewhere (and under ``use_pallas=False``)
     the XLA formulation is used — both are exact to each other."""
-    aff = rgb_affinity(imgs, dilations, w1, w2)
+    aff = rgb_affinity(imgs, dilations, w1, w2, compute_dtype=compute_dtype)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

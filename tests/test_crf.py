@@ -131,3 +131,4 @@ def test_device_crf_batched_shapes(rng):
         jnp.asarray(img), jnp.asarray(probs), downsample=8, row_chunk=8, iters=3)
     assert out.shape == (b, h, w, c)
     np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-4)
+
