@@ -115,6 +115,8 @@ class ParConfig:
     down_scale: int = 2                          # run PAR at half image res
     compute_dtype: str = "float32"               # "bfloat16": inference-only
                                                  # fast path (f32-accumulated)
+    class_budget: Optional[int] = None           # compact PAR class axis to
+                                                 # this many present classes
 
 
 @dataclasses.dataclass(frozen=True)

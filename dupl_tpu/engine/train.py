@@ -148,6 +148,7 @@ class Trainer:
             high_thre=tile(high) if high.ndim >= 1 else high,
             low_thre=cfg.low_thre, img_box=tile(img_box),
             ignore_index=cfg.ignore_index, down_scale=cfg.par.down_scale,
+            class_budget=cfg.par.class_budget,
         )
         return refined.reshape(nb, b, *refined.shape[1:])
 

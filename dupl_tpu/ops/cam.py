@@ -181,6 +181,7 @@ def refine_cams_with_bkg(
     img_box: Optional[jax.Array],
     ignore_index: int = 255,
     down_scale: int = 2,
+    class_budget: Optional[int] = None,
 ) -> jax.Array:
     """PAR-refined pseudo-labels with dual background planes
     (reference: utils/cam_helper.py:338-431 — covers both
@@ -238,10 +239,59 @@ def refine_cams_with_bkg(
     nclass = cams_h_small.shape[-1]
     probs = jnp.concatenate(
         [masked_softmax(cams_h_small), masked_softmax(cams_l_small)], axis=-1)
-    refined = par_fn(images_small, probs)
-    refined = image_ops.resize_bilinear(refined, (h, w))
-    label_h = jnp.argmax(refined[..., :nclass], axis=-1).astype(jnp.int32)
-    label_l = jnp.argmax(refined[..., nclass:], axis=-1).astype(jnp.int32)
+
+    def _full_labels(probs):
+        refined = par_fn(images_small, probs)
+        refined = image_ops.resize_bilinear(refined, (h, w))
+        lh = jnp.argmax(refined[..., :nclass], axis=-1).astype(jnp.int32)
+        ll = jnp.argmax(refined[..., nclass:], axis=-1).astype(jnp.int32)
+        return lh, ll
+
+    if class_budget is not None and class_budget < nclass:
+        # The reference gathers each image's PRESENT classes before PAR
+        # (cam_helper.py:413 ``valid_cams = cams[i, valid_key]``); the batched
+        # equivalent compacts the class axis to a fixed ``class_budget``:
+        # present classes (bkg first, ascending) fill the slots, absent-class
+        # padding channels carry softmax probability 0 and stay 0 through the
+        # positive-weight propagation, so the argmax can never select them —
+        # labels are EXACTLY the full computation's whenever every image has
+        # < class_budget present foreground classes (a lax.cond falls back to
+        # the full class axis otherwise).  PAR propagation and the full-res
+        # upsample shrink by ~2(1+C)/2K.
+        k = class_budget
+        present = cls_with_bkg > 0
+        count = jnp.sum(present.astype(jnp.int32), axis=-1)
+        score = present.astype(jnp.int32) * (2 * nclass) - jnp.arange(nclass)
+        _, idx = jax.lax.top_k(score, k)                       # (B, k)
+
+        def _compact_labels(probs):
+            # channel selection as a one-hot matmul: a per-pixel dynamic
+            # gather on the minor axis compiles to an HBM-bound scatter that
+            # cost more than the compaction saved; the (B, K, nclass)
+            # selection matrix rides the MXU and fuses with the softmax
+            sel = jax.nn.one_hot(idx, nclass, dtype=probs.dtype)  # (B, K, n)
+            gather = lambda p: jnp.einsum("bhwc,bkc->bhwk", p, sel)
+            refined = par_fn(images_small, jnp.concatenate(
+                [gather(probs[..., :nclass]), gather(probs[..., nclass:])],
+                axis=-1))
+            refined = image_ops.resize_bilinear(refined, (h, w))
+            ah = jnp.argmax(refined[..., :k], axis=-1)
+            al = jnp.argmax(refined[..., k:], axis=-1)
+
+            def unmap(a):
+                # compact slot -> class id WITHOUT a gather (per-pixel
+                # table gathers are the slowest op on TPU): k selects
+                out = jnp.zeros(a.shape, jnp.int32)
+                for j in range(k):
+                    out = jnp.where(a == j, idx[:, j, None, None], out)
+                return out
+
+            return unmap(ah), unmap(al)
+
+        label_h, label_l = jax.lax.cond(
+            jnp.all(count <= k), _compact_labels, _full_labels, probs)
+    else:
+        label_h, label_l = _full_labels(probs)
 
     if img_box is not None:
         inside = image_ops.box_mask(img_box, h, w)

@@ -47,17 +47,27 @@ def _gaussian_kernel_2d(std: float, radius: int) -> jnp.ndarray:
 
 def _pos_message(q: jax.Array, std: float) -> jax.Array:
     """Short-range Gaussian message with filter(ones)=1 normalisation.
-    q: (H, W, C)."""
+    q: (H, W, C).
+
+    The 2-D Gaussian is an outer product, so the filter runs as two 1-D
+    convolutions ((2r+1)·2 taps instead of (2r+1)²) — the single-channel 2-D
+    conv formulation cannot use the MXU and was the largest single cost of
+    the fast-CRF step (~13 ms of ~73 at batch 16, 448²)."""
     radius = max(1, int(2 * std))
-    k = _gaussian_kernel_2d(std, radius)
+    ax = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k1 = jnp.exp(-0.5 * (ax / std) ** 2)
     h, w, c = q.shape
-    x = q.transpose(2, 0, 1)[:, None]  # (C,1,H,W)
-    kk = k[None, None]
-    out = jax.lax.conv_general_dilated(x, kk, (1, 1), "SAME",
-                                       dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    def conv1d(x, axis):
+        # x: (C, 1, H, W); filter along `axis` (2=H, 3=W)
+        kk = k1.reshape((1, 1, -1, 1) if axis == 2 else (1, 1, 1, -1))
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    x = q.transpose(2, 0, 1)[:, None]              # (C,1,H,W)
+    out = conv1d(conv1d(x, 2), 3)
     ones = jnp.ones((1, 1, h, w), q.dtype)
-    norm = jax.lax.conv_general_dilated(ones, kk, (1, 1), "SAME",
-                                        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    norm = conv1d(conv1d(ones, 2), 3)
     return (out / norm)[:, 0].transpose(1, 2, 0)
 
 
@@ -79,7 +89,8 @@ def _pool(x: jax.Array, s: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "pos_w", "pos_xy_std", "bi_w", "bi_xy_std",
-                     "bi_rgb_std", "downsample", "row_chunk", "fast"),
+                     "bi_rgb_std", "downsample", "row_chunk", "fast",
+                     "return_logits"),
 )
 def mean_field_crf(
     image01: jax.Array,
@@ -94,6 +105,7 @@ def mean_field_crf(
     downsample: int = 8,
     row_chunk: int = 56,
     fast: bool = False,
+    return_logits: bool = False,
 ) -> jax.Array:
     """Mean-field inference for a batch.
 
@@ -104,6 +116,10 @@ def mean_field_crf(
     ``fast=True`` runs the iterations on the pivot lattice (Ns x Ns matmuls)
     and slices to full resolution once at the end — ~8x fewer full-res
     kernel applications at a small fidelity cost.
+
+    ``return_logits=True`` (fast mode) skips the final full-resolution
+    softmax: argmax is monotone in softmax, so label consumers get identical
+    labels without the (B, H, W, C) exp/sum/divide pass.
     """
     b, h, w, c = probs.shape
     s = downsample
@@ -165,7 +181,11 @@ def mean_field_crf(
             # the dominant full-res kernel-build exp() volume.
             basis_small = jnp.concatenate(
                 [mu * mu, mu, jnp.ones((mu.shape[0], 1), jnp.float32)], axis=-1)
-            ks = jnp.exp(jnp.minimum(basis_small @ coef, logc[None, :]))
+            # the lattice kernel is re-read every iteration (Ns² × B per
+            # sweep, ~6 GB at batch 16): bf16 entries in [0, 1], messages
+            # fp32-accumulated — same trade as cross_apply
+            ks = jnp.exp(jnp.minimum(basis_small @ coef,
+                                     logc[None, :])).astype(jnp.bfloat16)
             us = _pool(unary, s).reshape(-1, c)
 
             def _bb_degree(mu_c, sig2_c):
@@ -184,7 +204,9 @@ def mean_field_crf(
             invf_small = jax.lax.rsqrt(jnp.maximum(deg_small, 1e-12))
 
             def small_body(_, qs):
-                m = (ks @ (qs * (invf_small * s * s)[:, None])) * invf_small[:, None]
+                m = jnp.dot(ks, (qs * (invf_small * s * s)[:, None]).astype(
+                    jnp.bfloat16), preferred_element_type=jnp.float32)
+                m = m * invf_small[:, None]
                 return jax.nn.softmax(-us + bi_w * m, axis=-1)
 
             qs = jax.lax.fori_loop(0, iters - 1, small_body, _pool(p, s).reshape(-1, c))
@@ -201,7 +223,8 @@ def mean_field_crf(
             q_up = jax.image.resize(qs.reshape(h // s, w // s, c), (h, w, c),
                                     method="nearest")
             m_pos = _pos_message(q_up, pos_xy_std)
-            return jax.nn.softmax(-unary + bi_w * m_bi + pos_w * m_pos, axis=-1)
+            logits = -unary + bi_w * m_bi + pos_w * m_pos
+            return logits if return_logits else jax.nn.softmax(logits, axis=-1)
 
         # degree for symmetric normalisation (computed once):
         # deg_i = sum_j k(i, j) ~= sum_cells s² · E_cell[k(i, ·)]

@@ -154,3 +154,39 @@ def test_merge_at_par_resolution_label_agreement(rng):
 
     agree = (labels[None] == labels[(h // 2, h // 2)]).mean()
     assert agree > 0.99, f"merge-resolution label agreement {agree:.4f}"
+
+
+
+def test_class_budget_exact(rng):
+    """Class-axis compaction (the batched form of the reference's per-image
+    valid-key gather, cam_helper.py:413) is EXACT when every image's present
+    classes fit the budget, and falls back to the full axis when they don't."""
+    import jax
+    from dupl_tpu.ops import par as par_ops
+
+    b, h, c = 3, 64, 12
+    base = rng.rand(b, 8, 8, 3).astype(np.float32)
+    imgs01 = jnp.asarray(image_ops.resize_bilinear(jnp.asarray(base), (h, h)))
+    cams = jnp.asarray(rng.rand(b, h, h, c).astype(np.float32))
+    cls = (rng.rand(b, c) > 0.6).astype(np.float32)
+    cls[:, 0] = 1  # at least one present
+    box = jnp.asarray([[0, h, 0, h]] * b, jnp.int32)
+
+    def par_fn(im, masks):
+        return par_ops.par_refine(im, masks, num_iter=2, use_pallas=False)
+
+    kw = dict(high_thre=0.7, low_thre=0.25, img_box=box, down_scale=2)
+    full = np.asarray(cam_ops.refine_cams_with_bkg(
+        par_fn, imgs01, cams * jnp.asarray(cls)[:, None, None, :],
+        jnp.asarray(cls), **kw))
+    # budget comfortably above the max present count: exact
+    budget = int(cls.sum(1).max()) + 1
+    compact = np.asarray(cam_ops.refine_cams_with_bkg(
+        par_fn, imgs01, cams * jnp.asarray(cls)[:, None, None, :],
+        jnp.asarray(cls), class_budget=budget, **kw))
+    np.testing.assert_array_equal(full, compact)
+    # budget below the max present count: cond falls back, still exact
+    tight = np.asarray(cam_ops.refine_cams_with_bkg(
+        par_fn, imgs01, cams * jnp.asarray(cls)[:, None, None, :],
+        jnp.asarray(cls), class_budget=max(2, budget - 3), **kw))
+    np.testing.assert_array_equal(full, tight)

@@ -35,3 +35,16 @@ def test_fast_mode_21class_448(rng):
         *args, downsample=8, row_chunk=56, fast=True))[0].argmax(-1)
     assert (full == fast).mean() > 0.95
     assert (fast == gt).mean() > (probs.argmax(0) == gt).mean() + 0.1
+
+
+def test_return_logits_same_labels(rng):
+    """``return_logits=True`` must give identical argmax labels (softmax is
+    monotone per pixel)."""
+    b, h, w, c = 1, 64, 64, 5
+    img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    logits = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    probs = jnp.exp(logits) / jnp.exp(logits).sum(-1, keepdims=True)
+    kw = dict(downsample=8, row_chunk=8, iters=3, fast=True)
+    marg = np.asarray(crf_ops.mean_field_crf(img, probs, **kw))
+    lg = np.asarray(crf_ops.mean_field_crf(img, probs, return_logits=True, **kw))
+    np.testing.assert_array_equal(marg.argmax(-1), lg.argmax(-1))

@@ -54,7 +54,7 @@ def main():
     cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
                                        gelu_approximate=True,
                                        stream_dtype="bfloat16"),
-                     par=ParConfig(compute_dtype="bfloat16"))
+                     par=ParConfig(compute_dtype="bfloat16", class_budget=10))
     trainer = Trainer(cfg)
     model = trainer.model
 
@@ -138,7 +138,8 @@ def main():
     def crf(denorm, seg):
         seg = image_ops.resize_bilinear(seg, (448, 448))
         probs = jax.nn.softmax(seg, axis=-1)
-        return crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True)
+        return crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True,
+                                       return_logits=True)
 
     dt = timeit(crf, denorm, out.seg[0], iters=args.iters)
     report["crf_fast"] = dt
@@ -159,7 +160,8 @@ def main():
                                   high_thre=cfg.high_thre)
         seg = image_ops.resize_bilinear(out.seg[0], inputs.shape[1:3])
         probs = jax.nn.softmax(seg, axis=-1)
-        marg = crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True)
+        marg = crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True,
+                                       return_logits=True)
         return refined, jnp.argmax(marg, axis=-1)
 
     dt = timeit(pipeline, params, inputs, cls_label, img_box, iters=args.iters)
