@@ -115,8 +115,11 @@ class ParConfig:
     down_scale: int = 2                          # run PAR at half image res
     compute_dtype: str = "float32"               # "bfloat16": inference-only
                                                  # fast path (f32-accumulated)
-    class_budget: Optional[int] = None           # compact PAR class axis to
-                                                 # this many present classes
+    # Compact the PAR class axis to this many present classes (the batched
+    # form of the reference's per-image valid-key gather, cam_helper.py:413).
+    # EXACT with a lax.cond fallback to the full axis when an image exceeds
+    # it; None disables.  10 covers every VOC image; COCO recipes use 16.
+    class_budget: Optional[int] = 10
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,6 +223,7 @@ def coco_config(**overrides) -> TrainConfig:
     refine source switch at 12k iters)."""
     base = TrainConfig(
         model=ModelConfig(num_classes=81, aux_layer=9),
+        par=ParConfig(class_budget=16),  # COCO images rarely exceed 15 cats
         max_iters=80000,
         cam_iters=8000,
         gmm_iters=32000,

@@ -1,0 +1,70 @@
+"""Training-step throughput on the live chip (phase-3 = the full curriculum
+step: multi-scale CAM, PAR refinement, GMM noise filter, strong-aug
+consistency, dual fwd/bwd, optimizer).
+
+Counterpart of tools/bench_components.py for the training path; the
+reference anchor is 0.67 it/s at global batch 4 on 2x RTX 3090
+(logs/dupl_train_voc/train.log — BASELINE.md)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--phase", default="full", choices=["warmup", "seg", "full"])
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dupl_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from dupl_tpu.config import voc_config, ModelConfig
+    from dupl_tpu.data.pipeline import synthetic_batch
+    from dupl_tpu.engine.train import Trainer
+
+    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16"))
+    trainer = Trainer(cfg)
+
+    b = args.batch
+    batch = synthetic_batch(b, crop=cfg.data.crop_size)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, dev_batch["image"][:1])
+    # jump the step counter into the requested phase
+    step0 = {"warmup": 0, "seg": cfg.cam_iters, "full": cfg.gmm_iters}[args.phase]
+    state = state._replace(step=jnp.int32(step0))
+
+    def sync(x):
+        return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+    t0 = time.perf_counter()
+    state, metrics = trainer.train_step(state, dev_batch)
+    sync(metrics)
+    print(f"compile+first step: {time.perf_counter()-t0:.1f} s")
+
+    best = float("inf")
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(state, dev_batch)
+        sync(metrics)
+        best = min(best, time.perf_counter() - t0)
+    print(f"phase={args.phase} batch={b}: {best*1e3:.1f} ms/it = "
+          f"{1/best:.2f} it/s = {b/best:.2f} img/s "
+          f"({b/best/2.7:.2f}x reference train img/s)")
+
+
+if __name__ == "__main__":
+    main()
