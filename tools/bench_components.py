@@ -164,6 +164,31 @@ def main():
                                        return_logits=True)
         return refined, jnp.argmax(marg, axis=-1)
 
+    # --- the offline eval protocol (eval_seg_voc parity path): 3 scales x
+    # flip seg logits, max-merge, both branches, device CRF -> labels
+    from dupl_tpu.engine.eval_seg import msc_seg_logits
+
+    @jax.jit
+    def eval_protocol(params, inputs):
+        def seg_fn_b(pb):
+            def seg_fn(x):
+                return model.module.apply(pb, x, method=Student.forward_with_cams)[0].seg
+            return seg_fn
+        out_size = inputs.shape[1:3]
+        segs = jax.vmap(
+            lambda pb: msc_seg_logits(seg_fn_b(pb), inputs, out_size,
+                                      (1.0, 1.5, 1.25), merge="max"))(params)
+        denorm = image_ops.denormalize(inputs)
+        probs = jax.nn.softmax(segs[0], axis=-1)
+        lg = crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True,
+                                     return_logits=True)
+        return segs, jnp.argmax(lg, axis=-1)
+
+    dt = timeit(eval_protocol, params, inputs, iters=args.iters)
+    report["eval_protocol"] = dt
+    print(f"eval protocol (3 scales x flip x 2 branches + CRF): {dt*1e3:.1f} ms "
+          f"-> {b/dt:.2f} img/s")
+
     dt = timeit(pipeline, params, inputs, cls_label, img_box, iters=args.iters)
     report["pipeline"] = dt
     print(f"end-to-end pipeline: {dt*1e3:.1f} ms -> {b/dt:.2f} img/s "
