@@ -46,6 +46,7 @@ VIT_CONFIGS = {
     "deit_small_patch16": ViTSpec(embed_dim=384, depth=12, num_heads=6),
     "deit_base_patch16": ViTSpec(embed_dim=768, depth=12, num_heads=12),
     "vit_large_patch16": ViTSpec(embed_dim=1024, depth=24, num_heads=16),
+    "vit_huge_patch16": ViTSpec(embed_dim=1280, depth=32, num_heads=16),
     # tiny config for fast tests (SURVEY.md §4 "tiny-ViT fake backbone")
     "test_tiny_patch16": ViTSpec(embed_dim=32, depth=4, num_heads=2),
 }

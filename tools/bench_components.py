@@ -34,6 +34,8 @@ def timeit(fn, *args, iters=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--int8", action="store_true",
+                    help="opt-in dynamic-int8 GEMMs (ModelConfig.quantized_inference)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -53,7 +55,8 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
     cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
                                        gelu_approximate=True,
-                                       stream_dtype="bfloat16"),
+                                       stream_dtype="bfloat16",
+                                       quantized_inference=args.int8),
                      par=ParConfig(compute_dtype="bfloat16", class_budget=10))
     trainer = Trainer(cfg)
     model = trainer.model
