@@ -134,6 +134,26 @@ def _equalize_batched(img255: jax.Array) -> jax.Array:
         return jax.lax.fori_loop(0, npad // chunk, body,
                                  jnp.zeros((b, 256), jnp.float32))
 
+    def apply_lut(qc, lut):
+        """(B, N) pixels through a per-image (B, 256) LUT WITHOUT a gather
+        (per-pixel table gathers dominated the strong-aug step): chunked
+        compare-select, fused by XLA like the histogram pass.  LUT values
+        are exact in bf16 (integers <= 255)."""
+        chunk = 4096
+        npad = -(-n // chunk) * chunk
+        qq = jnp.pad(qc, ((0, 0), (0, npad - n)), constant_values=256)
+        qq = qq.reshape(b, npad // chunk, chunk)
+        lut16 = lut.astype(jnp.bfloat16)
+
+        def body(c, acc):
+            oh = (qq[:, c, :, None] == bins).astype(jnp.bfloat16)
+            vals = jnp.einsum("bnk,bk->bn", oh, lut16).astype(jnp.float32)
+            return jax.lax.dynamic_update_slice(acc, vals[:, None], (0, c, 0))
+
+        out = jax.lax.fori_loop(0, npad // chunk, body,
+                                jnp.zeros((b, npad // chunk, chunk), jnp.float32))
+        return out.reshape(b, npad)[:, :n]
+
     outs = []
     for c in range(3):
         hist = histogram(q[:, :, c])                              # (B, 256)
@@ -145,18 +165,25 @@ def _equalize_batched(img255: jax.Array) -> jax.Array:
         cum_excl = jnp.cumsum(hist, axis=1) - hist
         lut = jnp.floor((jnp.floor(step / 2) + cum_excl) / jnp.maximum(step, 1))
         lut = jnp.clip(lut, 0, 255)
-        out = jnp.take_along_axis(lut, q[:, :, c], axis=1)
+        out = apply_lut(q[:, :, c], lut)
         outs.append(jnp.where(step > 0, out, q[:, :, c].astype(jnp.float32)))
     return jnp.stack(outs, axis=-1).reshape(b, h, w, 3)
 
 
 def _sharpness_batched(img255: jax.Array, v) -> jax.Array:
-    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    # PIL's SMOOTH kernel [[1,1,1],[1,5,1],[1,1,1]]/13 = (3x3 box + 4·δ)/13:
+    # the box is separable into two 1-D convs, and the single-channel 2-D
+    # conv formulation (which cannot use the MXU) was a strong-aug hot spot
     b, h, w, _ = img255.shape
     x = img255.transpose(0, 3, 1, 2).reshape(b * 3, 1, h, w)
-    sm = jax.lax.conv_general_dilated(
-        x, k[None, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    ones3 = jnp.ones((1, 1, 3, 1), jnp.float32)
+
+    def conv1d(z, kk):
+        return jax.lax.conv_general_dilated(
+            z, kk, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    box = conv1d(conv1d(x, ones3), ones3.transpose(0, 1, 3, 2))
+    sm = (box + 4.0 * x) / 13.0
     sm = sm.reshape(b, 3, h, w).transpose(0, 2, 3, 1)
     inner = jnp.pad(jnp.ones((1, h - 2, w - 2, 1), bool),
                     ((0, 0), (1, 1), (1, 1), (0, 0)))
