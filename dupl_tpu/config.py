@@ -74,6 +74,15 @@ class ModelConfig:
     # dynamic-int8 GEMMs (ops/quant.py) for inference pipelines only; the MXU
     # runs int8 at ~1.5x bf16.  Never enabled for training.
     quantized_inference: bool = False
+    # Residual-stream dtype for the NO-GRAD multi-scale CAM pass in training
+    # (reference: torch.no_grad() forwards, train_final_voc.py:216).  ``None``
+    # follows ``stream_dtype``; the production recipes (tools/train.py) set
+    # "bfloat16" — the grad forward keeps ``stream_dtype`` while the CAM pass
+    # tolerates bf16 rounding (pseudo-labels come from min-max-normalised CAMs
+    # and the whole pipeline is built for label noise; agreement vs an f32
+    # stream is tested in tests/test_train_step.py).  Saves ~15% of the CAM
+    # pass on v5e.
+    cam_stream_dtype: Optional[str] = None
     # rematerialise transformer blocks in the backward pass (jax.checkpoint):
     # trades ~30% step FLOPs for O(depth) activation memory — enables larger
     # per-chip batches / ViT-L+ training.

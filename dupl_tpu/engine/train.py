@@ -91,6 +91,15 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, model: Optional[DualStudent] = None):
         self.cfg = cfg
         self.model = model or DualStudent(cfg.model)
+        # Same params, cheaper activation stream for the no-grad CAM pass
+        # (ModelConfig.cam_stream_dtype); param pytrees are identical.
+        cam_dt = cfg.model.cam_stream_dtype
+        if cam_dt is not None and cam_dt != cfg.model.stream_dtype:
+            import dataclasses as _dc
+            self.cam_model = DualStudent(
+                _dc.replace(cfg.model, stream_dtype=cam_dt))
+        else:
+            self.cam_model = self.model
         self.tx = None
         self._steps: Dict[str, Any] = {}
         self.high_start = jnp.full(
@@ -117,7 +126,7 @@ class Trainer:
 
         def one_branch(pb):
             return cam_ops.multi_scale_cam(
-                lambda x: self.model.module.apply(pb, x, method=Student.cam_only),
+                lambda x: self.cam_model.module.apply(pb, x, method=Student.cam_only),
                 inputs, self.cfg.cam_scales,
             )
 

@@ -144,6 +144,75 @@ def _exp_attention_bhnd(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :n]
 
 
+_BWD_MAX_SEQ = 896   # full-row bwd kernel VMEM ceiling (4 N x N f32 buffers);
+                     # covers every grad-path shape (448-crop: 785 -> 896,
+                     # 0.75x strong-aug view: 442 -> 448)
+
+
+def _exp_attn_bwd_kernel(q_ref, kt_ref, v_ref, g_ref,
+                         dq_ref, dk_ref, dv_ref, *, n_pad: int):
+    """Fused attention backward, one program per (batch, head): recomputes the
+    forward's scores in VMEM (the XLA recompute it replaces round-trips the
+    (BH, N, N) fp32 score tensor through HBM several times — ~0.5 GB/step at
+    448-crop training) and emits all three grads with the classic
+    delta = rowsum(p * (g @ vT)) softmax-vjp identity.  Zero-padding algebra as
+    in the forward kernel: padded K columns contribute e=1 to the denominator
+    (subtracted), padded q/g rows are zero so every padded grad row is zero."""
+    q = q_ref[0]                                   # (N, D) bf16, pre-scaled
+    kt = kt_ref[0]                                 # (D, N) bf16
+    v = v_ref[0]                                   # (N, D) bf16
+    g = g_ref[0]                                   # (N, D) bf16
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))      # (N, N) fp32
+    denom = jnp.sum(e, axis=1, keepdims=True) - float(n_pad)
+    p = e / denom
+    # t = g @ vT; delta_n = sum_m p[n,m] t[n,m] = rowsum(o * g) per query row
+    t = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    delta = jnp.sum(p * t, axis=1, keepdims=True)
+    ds = jnp.where(s < _LOGIT_CLAMP, p * (t - delta), 0.0).astype(jnp.bfloat16)
+    dq = jax.lax.dot_general(ds, kt, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(p.astype(jnp.bfloat16), g, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _exp_attention_bwd_fused(q, k, v, g, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n, d = q.shape
+    np_ = _pad_to(n, 128)
+
+    def padn(x):
+        return jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, np_ - n), (0, 0)))
+
+    qp, vp, gp = padn(q), padn(v), padn(g)
+    ktp = jnp.pad(k.astype(jnp.bfloat16).transpose(0, 2, 1),
+                  ((0, 0), (0, 0), (0, np_ - n)))
+    row = pl.BlockSpec((1, np_, d), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((1, d, np_), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((bh, np_, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_exp_attn_bwd_kernel, n_pad=np_ - n),
+        grid=(bh,),
+        in_specs=[row, col, row, row],
+        out_specs=[row, row, row],
+        out_shape=[out, out, out],
+        interpret=interpret,
+    )(qp, ktp, vp, gp)
+    return dq[:, :n], dk[:, :n], dv[:, :n]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _exp_attention(q, k, v, interpret=False):
     return _exp_attention_bhnd(q, k, v, interpret=interpret)
@@ -155,6 +224,8 @@ def _exp_attention_fwd(q, k, v, interpret):
 
 def _exp_attention_bwd(interpret, res, g):
     q, k, v = res
+    if _pad_to(q.shape[1], 128) <= _BWD_MAX_SEQ:
+        return _exp_attention_bwd_fused(q, k, v, g, interpret=interpret)
     _, vjp = jax.vjp(_exp_attention_ref, q, k, v)
     return vjp(g)
 

@@ -67,3 +67,35 @@ def test_exp_attention_clamp_no_overflow(rng):
     q = jnp.asarray(rng.randn(b, n, h, d) * 30.0, jnp.float32)
     out = attn.exp_attention(q, q, q, scale=1.0, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_bwd_matches_ref_vjp(rng):
+    """The fused Pallas backward must match the XLA recompute vjp it replaces
+    (same clamp, same zero-padding algebra), including at non-128 lengths."""
+    bh, n, d = 3, 150, 32
+    q = jnp.asarray(rng.randn(bh, n, d) * 0.4, jnp.bfloat16)
+    k = jnp.asarray(rng.randn(bh, n, d) * 0.4, jnp.bfloat16)
+    v = jnp.asarray(rng.randn(bh, n, d), jnp.bfloat16)
+    g = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+
+    fused = attn._exp_attention_bwd_fused(q, k, v, g, interpret=True)
+    _, vjp = jax.vjp(attn._exp_attention_ref, q, k, v)
+    ref = vjp(g)
+    for a, b_ in zip(fused, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=5e-2, rtol=5e-2)
+
+
+def test_bwd_fallback_beyond_ceiling(rng):
+    """Above _BWD_MAX_SEQ padded tokens the backward falls back to the XLA
+    recompute (kernel VMEM ceiling); gradients stay finite and correct."""
+    b, n, h, d = 1, attn._BWD_MAX_SEQ + 10, 1, 16
+    q = jnp.asarray(rng.randn(b, n, h, d) * 0.3, jnp.float32)
+
+    def loss(x):
+        return jnp.sum(attn.exp_attention(x, x, x, scale=d ** -0.5,
+                                          interpret=True) ** 2)
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g, np.float32)).all()

@@ -104,3 +104,36 @@ def test_deterministic_given_seed(tiny_trainer):
         _, metrics = trainer.train_step(state, batch)
         m.append(float(metrics["loss"]))
     assert m[0] == m[1]
+
+
+def test_cam_stream_dtype_agreement(tiny_trainer):
+    """ModelConfig.cam_stream_dtype: a bf16-stream no-grad CAM pass must yield
+    nearly the same min-max-normalised CAMs (and the same pseudo-labels almost
+    everywhere) as the f32-stream pass it replaces in the production recipes."""
+    from dupl_tpu.ops import cam as cam_ops
+
+    cfg, trainer, _, batch = tiny_trainer
+    # fresh params: the fixture state's buffers are donated by earlier steps
+    state = trainer.init_state(jax.random.PRNGKey(3), batch["image"][:1])
+    bf_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, cam_stream_dtype="bfloat16"))
+    bf_trainer = Trainer(bf_cfg)
+    assert bf_trainer.cam_model is not bf_trainer.model
+    assert trainer.cam_model is trainer.model  # None -> follows stream_dtype
+
+    msc = jax.jit(lambda p, x: trainer._multi_scale_cams(p, x))
+    msc_bf = jax.jit(lambda p, x: bf_trainer._multi_scale_cams(p, x))
+    cams_a, _ = msc(state.params, batch["image"])
+    cams_b, _ = msc_bf(state.params, batch["image"])
+    # normalised CAMs live in [0, 1]
+    assert float(jnp.max(jnp.abs(cams_a - cams_b))) < 0.05
+
+    def labels(cams):
+        _, lab = cam_ops.cam_to_label(
+            cams[0], batch["cls_label"], bkg_thre=cfg.bkg_thre,
+            high_thre=cfg.high_thre, low_thre=cfg.low_thre, ignore_mid=True,
+            img_box=batch["img_box"], ignore_index=cfg.ignore_index)
+        return lab
+
+    agree = jnp.mean((labels(cams_a) == labels(cams_b)).astype(jnp.float32))
+    assert float(agree) > 0.95

@@ -34,7 +34,8 @@ def main():
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer
 
-    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16"))
+    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
+                                       cam_stream_dtype="bfloat16"))
     trainer = Trainer(cfg)
 
     b = args.batch

@@ -55,6 +55,10 @@ def parse_args():
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--cam-iters", type=int, default=None)
     p.add_argument("--gmm-iters", type=int, default=None)
+    p.add_argument("--cam-stream-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="residual-stream dtype for the no-grad CAM pass "
+                        "(ModelConfig.cam_stream_dtype)")
     return p.parse_args()
 
 
@@ -71,6 +75,8 @@ def build_config(args):
     cfg = voc_config(**over) if args.dataset == "voc" else coco_config(**over)
     if args.backbone:
         cfg = dc.replace(cfg, model=dc.replace(cfg.model, backbone=args.backbone))
+    cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model, cam_stream_dtype=args.cam_stream_dtype))
     if args.crop_size:
         cfg = dc.replace(cfg, data=dc.replace(cfg.data, crop_size=args.crop_size))
     return cfg
