@@ -26,26 +26,31 @@ def setup_logger(filename: Optional[str] = None, level=logging.INFO) -> logging.
 
 class AverageMeter:
     """Windowed scalar means, popped at log intervals
-    (reference: utils/pyutils.py:59-87)."""
+    (reference: utils/pyutils.py:59-87).
+
+    Values are held as-is (device scalars included) and only converted to
+    Python floats at ``get``/``pop`` — a per-step ``float()`` would force a
+    host round-trip per metric per iteration, serialising dispatch against
+    the device (~30 ms relay latency per sync) and blocking the step
+    pipeline; deferring the sync to the log boundary lets XLA queue steps
+    back-to-back."""
 
     def __init__(self):
-        self._sums: Dict[str, float] = {}
-        self._counts: Dict[str, int] = {}
+        self._vals: Dict[str, list] = {}
 
     def add(self, values: Dict[str, float]) -> None:
         for k, v in values.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(v)
-            self._counts[k] = self._counts.get(k, 0) + 1
+            self._vals.setdefault(k, []).append(v)
 
     def get(self, key: str) -> float:
-        if self._counts.get(key, 0) == 0:
+        vals = self._vals.get(key)
+        if not vals:
             return 0.0
-        return self._sums[key] / self._counts[key]
+        return sum(float(v) for v in vals) / len(vals)
 
     def pop(self, key: str) -> float:
         val = self.get(key)
-        self._sums.pop(key, None)
-        self._counts.pop(key, None)
+        self._vals.pop(key, None)
         return val
 
 

@@ -200,7 +200,7 @@ def main():
                 "img_box": batch["img_box"],
             })
             state, metrics = trainer.train_step(state, dev_batch)
-            meter.add({k: float(v) for k, v in metrics.items()})
+            meter.add(metrics)  # device scalars; synced at the log boundary
             if args.profile_iters and step == args.profile_iters[1]:
                 jax.profiler.stop_trace()
                 log.info("profiler trace written to %s/profile", work_dir)
@@ -212,6 +212,8 @@ def main():
                 step_t0 = _time.perf_counter()
                 losses = {k: meter.pop(k) for k in
                           ("cls_loss", "ptc_loss", "seg_loss", "sim_loss", "reg_loss")}
+                total_loss = meter.pop("loss")
+                cls_score = meter.pop("cls_score")
                 log.info(
                     "Iter: %d; Elapsed: %s; ETA: %s; LR: %.3e; phase: %s; "
                     "%.2f s/it; cls: %.4f | ptc: %.4f | seg: %.4f | "
@@ -221,6 +223,8 @@ def main():
                     losses["sim_loss"], losses["reg_loss"])
                 for k, v in losses.items():
                     tb.scalar(f"Loss/{k}", v, step + 1)
+                tb.scalar("Loss/total", total_loss, step + 1)
+                tb.scalar("train/cls_f1", cls_score, step + 1)
                 tb.scalar("lr", lr, step + 1)
                 tb.scalar("perf/s_per_iter", dt, step + 1)
                 if tb.enabled:
