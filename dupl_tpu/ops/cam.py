@@ -78,6 +78,8 @@ def multi_scale_cam(
     cam_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
     inputs: jax.Array,
     scales: Sequence[float],
+    *,
+    merge_size: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Multi-scale + flip CAM fusion (reference: utils/cam_helper.py:164-204).
 
@@ -87,16 +89,21 @@ def multi_scale_cam(
     is resized to the input size and max-merged with the un-flipped copy, ReLU'd,
     summed over scales, then per-(sample, class) min-max normalised.
 
+    ``merge_size`` overrides the merge resolution (default: input size, the
+    reference semantics) — see ``multi_scale_cam_with_outputs`` for why
+    consumers that immediately downscale (PAR refinement) merge small.
+
     No-grad by construction: wrap the call in ``jax.lax.stop_gradient`` at the
     call-site (the train step does).
     """
     b, h, w, _ = inputs.shape
+    mh, mw = merge_size if merge_size is not None else (h, w)
 
     def one_scale(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
         cam, cam_aux = cam_fn(both)
-        cam = image_ops.resize_bilinear(cam, (h, w))
-        cam_aux = image_ops.resize_bilinear(cam_aux, (h, w))
+        cam = image_ops.resize_bilinear(cam, (mh, mw))
+        cam_aux = image_ops.resize_bilinear(cam_aux, (mh, mw))
         cam = jnp.maximum(cam[:b], cam[b:, :, ::-1, :])
         cam_aux = jnp.maximum(cam_aux[:b], cam_aux[b:, :, ::-1, :])
         return jax.nn.relu(cam), jax.nn.relu(cam_aux)

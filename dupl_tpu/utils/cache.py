@@ -1,4 +1,4 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache + TPU environment sanitation.
 
 Remote compilation through the TPU relay costs minutes for the big jitted
 programs (full train step, bench pipeline); the persistent cache brings repeat
@@ -10,7 +10,23 @@ from __future__ import annotations
 import os
 
 
+def sanitize_tpu_env(env=None) -> None:
+    """Drop a poisoned ``TPU_WORKER_HOSTNAMES`` from the environment.
+
+    libtpu parses this variable as a hostname list; host tooling has been
+    observed leaving a literal warning string ("WARNING: could not determine
+    TPU worker hostnames ...") in it, which makes discovery fail instantly in
+    every child process — the backend silently falls back to CPU.  Hostname
+    lists never contain whitespace, so anything with spaces (or an empty
+    value) is garbage; discovery works fine with the variable unset."""
+    env = os.environ if env is None else env
+    v = env.get("TPU_WORKER_HOSTNAMES")
+    if v is not None and (not v.strip() or " " in v.strip()):
+        env.pop("TPU_WORKER_HOSTNAMES", None)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
+    sanitize_tpu_env()
     import jax
 
     path = path or os.environ.get(

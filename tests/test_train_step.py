@@ -137,3 +137,27 @@ def test_cam_stream_dtype_agreement(tiny_trainer):
 
     agree = jnp.mean((labels(cams_a) == labels(cams_b)).astype(jnp.float32))
     assert float(agree) > 0.95
+
+
+def test_cam_merge_downscale_agreement(tiny_trainer):
+    """TrainConfig.cam_merge_downscale=2: merging training CAMs at the PAR
+    input resolution must keep the refined pseudo-labels near-identical to the
+    reference-exact full-resolution merge (every consumer downscales again)."""
+    cfg, trainer, _, batch = tiny_trainer
+    state = trainer.init_state(jax.random.PRNGKey(5), batch["image"][:1])
+    small_trainer = Trainer(dataclasses.replace(cfg, cam_merge_downscale=2))
+
+    from dupl_tpu.ops import image as image_ops
+    denorm = image_ops.denormalize(batch["image"])
+
+    def refined_labels(tr):
+        cams, _ = jax.jit(lambda p, x: tr._multi_scale_cams(p, x))(
+            state.params, batch["image"])
+        return tr._refine(cams, denorm, batch["cls_label"], batch["img_box"],
+                          high_thre=cfg.high_thre)
+
+    full = refined_labels(trainer)
+    small = refined_labels(small_trainer)
+    assert full.shape == small.shape  # labels always at input resolution
+    agree = jnp.mean((full == small).astype(jnp.float32))
+    assert float(agree) > 0.95

@@ -35,7 +35,8 @@ def main():
     from dupl_tpu.engine.train import Trainer
 
     cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
-                                       cam_stream_dtype="bfloat16"))
+                                       cam_stream_dtype="bfloat16"),
+                     cam_merge_downscale=2)
     trainer = Trainer(cfg)
 
     b = args.batch

@@ -59,6 +59,9 @@ def parse_args():
                    choices=["bfloat16", "float32"],
                    help="residual-stream dtype for the no-grad CAM pass "
                         "(ModelConfig.cam_stream_dtype)")
+    p.add_argument("--cam-merge-downscale", type=int, default=2,
+                   help="merge training CAMs at input/this resolution "
+                        "(0 = full-res, the reference semantics)")
     return p.parse_args()
 
 
@@ -77,6 +80,7 @@ def build_config(args):
         cfg = dc.replace(cfg, model=dc.replace(cfg.model, backbone=args.backbone))
     cfg = dc.replace(cfg, model=dc.replace(
         cfg.model, cam_stream_dtype=args.cam_stream_dtype))
+    cfg = dc.replace(cfg, cam_merge_downscale=args.cam_merge_downscale or None)
     if args.crop_size:
         cfg = dc.replace(cfg, data=dc.replace(cfg.data, crop_size=args.crop_size))
     return cfg
