@@ -34,9 +34,13 @@ def probe_platform(timeout_s: float = 120.0, attempts: int = 3) -> str:
 
     Returns the platform name ('tpu'/'axon'/...) or 'cpu' if the ambient
     backend is unreachable within the timeout."""
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    # Probe with the SAME environment the measurement process will use
+    # (stripping JAX_PLATFORMS here could report 'tpu' while the parent, with
+    # the variable still set, initialises a different backend).
+    env = dict(os.environ)
     from dupl_tpu.utils.cache import sanitize_tpu_env
     sanitize_tpu_env(env)
+    sanitize_tpu_env()
     for attempt in range(attempts):
         try:
             out = subprocess.run(

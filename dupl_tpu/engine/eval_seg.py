@@ -36,22 +36,26 @@ from dupl_tpu.utils import metrics as metrics_utils
 
 
 def msc_seg_logits(seg_fn, x: jax.Array, out_size, scales: Sequence[float],
-                   merge: str = "max") -> jax.Array:
-    """Multi-scale + flip segmentation logits for one branch
+                   merge: str = "max", batch_dims: int = 1) -> jax.Array:
+    """Multi-scale + flip segmentation logits
     (reference: tools/eval_seg_voc.py:56-77 max-merge /
     eval_seg_coco_ddp.py:120-121 sum-merge).
 
-    ``seg_fn`` maps an NHWC batch to (B, h, w, C) seg logits.  Per scale the
-    batch rides with its horizontal flip; logits are resized to ``out_size``
-    and flip-summed; scales merge by max or sum."""
+    ``seg_fn`` maps an NHWC batch to (..., B, h, w, C) seg logits — any
+    leading axes before the batch (e.g. the dual-student branch axis) ride
+    along; ``batch_dims`` counts the leading axes of the output up to and
+    including the batch.  Per scale the batch rides with its horizontal flip;
+    logits are resized to ``out_size`` and flip-summed; scales merge by max
+    or sum."""
     b, hh, ww, _ = x.shape
     merged = None
     for sc in scales:
         size = (int(hh * sc), int(ww * sc))
         xs = x if sc == 1.0 else image_ops.resize_bilinear(x, size)
         both = jnp.concatenate([xs, xs[:, :, ::-1, :]], axis=0)
-        seg = image_ops.resize_bilinear(seg_fn(both), tuple(out_size))
-        seg = seg[:b] + seg[b:, :, ::-1, :]
+        seg = image_ops.resize_bilinear(seg_fn(both), tuple(out_size),
+                                        batch_dims=batch_dims)
+        seg = seg[..., :b, :, :, :] + seg[..., b:, :, ::-1, :]
         if merged is None:
             merged = seg
         elif merge == "max":
@@ -82,23 +86,15 @@ class SegEvaluator:
             @jax.jit
             def fn(params, x):
                 # output resolution = input resolution; under 'native' mode jax
-                # retraces (and caches) per distinct image shape
-                b, hh, ww, _ = x.shape
-                merged = None
-                for sc in self.scales:
-                    size = (int(hh * sc), int(ww * sc))
-                    xs = x if sc == 1.0 else image_ops.resize_bilinear(x, size)
-                    both = jnp.concatenate([xs, xs[:, :, ::-1, :]], axis=0)
-                    out = self.model.apply(params, both)  # seg: (2, 2B, h, w, C)
-                    seg = image_ops.resize_bilinear(out.seg, (hh, ww), batch_dims=2)
-                    seg = seg[:, :b] + seg[:, b:, :, ::-1, :]
-                    if merged is None:
-                        merged = seg
-                    elif self.merge == "max":
-                        merged = jnp.maximum(merged, seg)
-                    else:
-                        merged = merged + seg
-                return merged  # (2, B, hh, ww, C)
+                # retraces (and caches) per distinct image shape.  The branch
+                # axis rides through msc_seg_logits as a leading axis (seg:
+                # (2, 2B, h, w, C)) so both students share each scale's
+                # forward dispatch.
+                hh, ww = x.shape[1:3]
+                return msc_seg_logits(
+                    lambda both: self.model.apply(params, both).seg,
+                    x, (hh, ww), self.scales, self.merge, batch_dims=2,
+                )  # (2, B, hh, ww, C)
 
             self._msc_fn = fn
         return self._msc_fn

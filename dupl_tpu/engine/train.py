@@ -390,8 +390,16 @@ class Trainer:
             self._steps[phase] = jax.jit(fn, donate_argnums=(0,))
         return self._steps[phase]
 
-    def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        """Dispatch on the host-known step count."""
-        step = int(state.step)
+    def train_step(self, state: TrainState, batch,
+                   step: Optional[int] = None) -> Tuple[TrainState, Dict]:
+        """Dispatch on the host-known step count.
+
+        Callers that track the step themselves (the train loop does — the
+        count increments by exactly 1 per call) should pass it: reading
+        ``int(state.step)`` blocks on the previous step's completion, which
+        re-serialises dispatch against the device (~30 ms relay round-trip
+        per iteration) that the deferred metric sync exists to avoid."""
+        if step is None:
+            step = int(state.step)
         w = jnp.asarray(loss_weights(self.cfg, step), jnp.float32)
         return self.step_fn(phase_of(self.cfg, step))(state, batch, w)

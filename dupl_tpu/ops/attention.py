@@ -57,10 +57,16 @@ def _block_q(n_padded: int) -> int:
     # Full-row query blocks measure fastest for the exp kernel (15.8 vs 16.2
     # ms/layer at N=1792, 7.2 vs 7.5 at 896: fewer grid programs, K/V fetched
     # once).  The fp32 score block n² x 4 B stays ≤ 16.8 MB at the 2048-token
-    # kernel ceiling.  The flash path (> 2048 tokens) still wants bounded
-    # blocks.
+    # kernel ceiling.
     if n_padded <= 2048:
         return n_padded
+    return _flash_block_q(n_padded)
+
+
+def _flash_block_q(n_padded: int) -> int:
+    # The flash path always wants bounded blocks — including at exactly
+    # n_padded == 2048 (n == 2048 dispatches to flash, not the exp kernel,
+    # and a 2048² fp32 score tile would blow scoped VMEM there).
     for b in (512, 448, 256, 128):
         if n_padded % b == 0:
             return b
@@ -257,7 +263,7 @@ def dot_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> 
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     np_ = _pad_to(n, 128)
-    bq = _block_q(np_)
+    bq = _flash_block_q(np_)
 
     def to_bhnd(x):
         x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0), (0, 0)))

@@ -54,11 +54,18 @@ def cam_overlay_grid(images01: np.ndarray, cams: np.ndarray,
                      nrow: int = 2) -> np.ndarray:
     """Jet-colormap CAM overlay grid (reference: utils/imutils.py:255-267).
 
-    images01: (B, H, W, 3) in [0,1]; cams: (B, H, W, C) — the per-pixel max
-    over classes is colormapped and alpha-blended 50/50."""
+    images01: (B, H, W, 3) in [0,1]; cams: (B, h, w, C) — the per-pixel max
+    over classes is colormapped and alpha-blended 50/50.  CAMs at a coarser
+    resolution than the images (e.g. merged at PAR resolution under
+    ``cam_merge_downscale``) are nearest-upsampled to the image grid."""
     import matplotlib.cm as cm
 
     b, h, w, _ = images01.shape
+    ch, cw = cams.shape[1:3]
+    if (ch, cw) != (h, w):
+        iy = (np.arange(h) * ch) // h
+        ix = (np.arange(w) * cw) // w
+        cams = cams[:, iy][:, :, ix]
     cam_max = np.clip(cams.max(-1), 0, 1)
     heat = cm.jet(cam_max)[..., :3]
     blend = (0.5 * heat + 0.5 * images01)

@@ -76,3 +76,17 @@ def test_multilabel_f1(rng):
     y = (rng.rand(20) > 0.7).astype(int)
     p = (rng.rand(20) > 0.7).astype(int)
     assert metrics.multilabel_f1(y, p) == pytest.approx(skm.f1_score(y, p))
+
+
+def test_cam_overlay_grid_resolutions(rng):
+    """TB CAM overlays must accept CAMs at a coarser grid than the images
+    (cam_merge_downscale merges training CAMs at input/2) as well as full
+    resolution, and upsample to the image grid."""
+    from dupl_tpu.utils.tb import cam_overlay_grid, image_grid
+
+    img = rng.rand(4, 64, 64, 3).astype(np.float32)
+    for ch in (32, 64):
+        cams = rng.rand(4, ch, ch, 5).astype(np.float32)
+        g = cam_overlay_grid(img, cams, nrow=2)
+        assert g.shape == (128, 128, 3) and g.dtype == np.uint8
+    assert image_grid(img, nrow=2).shape == (128, 128, 3)

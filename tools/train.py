@@ -193,8 +193,12 @@ def main():
 
     with mesh:
         state = shard_state(mesh, state)
+        # Host-side step counter (in lockstep with state.step, which advances
+        # by exactly 1 per train_step): reading ``int(state.step)`` every
+        # iteration would block on the previous step's completion and
+        # re-serialise dispatch against the device.
+        step = int(state.step)
         for batch in loader:
-            step = int(state.step)
             if step >= cfg.max_iters:
                 break
             if args.profile_iters and step == args.profile_iters[0]:
@@ -203,7 +207,7 @@ def main():
                 "image": batch["image"], "cls_label": batch["cls_label"],
                 "img_box": batch["img_box"],
             })
-            state, metrics = trainer.train_step(state, dev_batch)
+            state, metrics = trainer.train_step(state, dev_batch, step=step)
             meter.add(metrics)  # device scalars; synced at the log boundary
             if args.profile_iters and step == args.profile_iters[1]:
                 jax.profiler.stop_trace()
@@ -246,6 +250,8 @@ def main():
                 for k in ("cam_1", "cam_2", "cam_aux_1", "cam_aux_2",
                           "seg_1", "seg_2"):
                     tb.scalar(f"val/{k}_miou", res[f"{k}_miou"], step + 1)
+
+            step += 1
 
     loader.stop()
     tb.close()
