@@ -151,12 +151,26 @@ def par_refine(
     On TPU the propagation runs as the Pallas kernel
     (``dupl_tpu.ops.par_pallas``); elsewhere (and under ``use_pallas=False``)
     the XLA formulation is used — both are exact to each other."""
-    aff = rgb_affinity(imgs, dilations, w1, w2, compute_dtype=compute_dtype)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from dupl_tpu.ops.par_pallas import propagate_pallas
+        from dupl_tpu.ops.par_pallas import affinity_pallas, propagate_pallas
+        aff = affinity_pallas(imgs, tuple(dilations), w1, w2,
+                              row_tile=_row_tile(imgs.shape[1]))
         return propagate_pallas(masks.astype(jnp.float32), aff,
                                 tuple(dilations), num_iter,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                aff_layout="bkhw")
+    aff = rgb_affinity(imgs, dilations, w1, w2, compute_dtype=compute_dtype)
     return propagate(masks.astype(jnp.float32), aff, tuple(dilations), num_iter)
+
+
+def _row_tile(h: int) -> int:
+    """Row-band dividing ``h`` for the affinity kernel (VMEM sizing; ~56 rows
+    measures fastest at the 224² refine size, full image for small inputs)."""
+    if h <= 64:
+        return h
+    for d in (64, 56, 48, 32, 112, 96, 80, 128, 16, 8, 4, 2):
+        if h % d == 0:
+            return d
+    return 1

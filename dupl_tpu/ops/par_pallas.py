@@ -81,7 +81,8 @@ def _kernel(aff_ref, mask_ref, out_ref, scratch, *, offsets, num_iter, h, w, pad
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dilations", "num_iter", "channel_tile", "compute_dtype", "interpret"))
+    "dilations", "num_iter", "channel_tile", "compute_dtype", "interpret",
+    "aff_layout"))
 def propagate_pallas(
     masks: jax.Array,
     aff: jax.Array,
@@ -90,15 +91,18 @@ def propagate_pallas(
     channel_tile: int = 8,
     compute_dtype: str = "float32",
     interpret: bool = False,
+    aff_layout: str = "bhwk",
 ) -> jax.Array:
-    """masks: (B, H, W, C); aff: (B, H, W, K). Returns (B, H, W, C).
+    """masks: (B, H, W, C); aff: (B, H, W, K) — or (B, K, H, W) with
+    ``aff_layout="bkhw"`` (the layout :func:`affinity_pallas` emits, skipping
+    a 300 MB transpose at the inference refine size).  Returns (B, H, W, C).
 
     ``compute_dtype="bfloat16"`` runs the tap reads/multiplies in bf16 with
     f32 group accumulation — ~1% value deviation over 10 iterations (inputs
     are probabilities in [0, 1]), argmax-stable on pseudo-labels; use for
     inference pipelines, keep the f32 default for training parity."""
     b, h, w, c = masks.shape
-    k = aff.shape[-1]
+    k = aff.shape[1] if aff_layout == "bkhw" else aff.shape[-1]
     pad = max(dilations)
     ct = channel_tile
     cp = -(-c // ct) * ct
@@ -107,7 +111,8 @@ def propagate_pallas(
     m = jnp.moveaxis(masks, -1, 1).astype(jnp.float32)          # (B, C, H, W)
     if cp != c:
         m = jnp.pad(m, ((0, 0), (0, cp - c), (0, 0), (0, 0)))
-    a = jnp.moveaxis(aff, -1, 1).astype(cdt)                    # (B, K, H, W)
+    a = (aff if aff_layout == "bkhw"
+         else jnp.moveaxis(aff, -1, 1)).astype(cdt)             # (B, K, H, W)
 
     kern = functools.partial(
         _kernel, offsets=tuple(_offsets(dilations)), num_iter=num_iter,
@@ -131,3 +136,109 @@ def propagate_pallas(
         interpret=interpret,
     )(a, m)
     return jnp.moveaxis(out[:, :c], 1, -1)
+
+
+def _aff_kernel(xp_ref, out_ref, logits, *, offsets, pos, inv_w1, h, w, bh, pad):
+    """Affinity for one row-band of one image, everything VMEM-resident.
+
+    xp_ref: (1, 3, Hp, Wp) — the WHOLE edge-padded image in channels-first
+    layout (W minor: full vector lanes); consecutive row-band programs reuse
+    the fetched buffer (unchanged index map).  The band's window is loaded
+    with a dynamic row start — overlapping halo windows cannot be expressed
+    as standard block indexing.
+    logits scratch: (K, bh, w) f32.  out: (1, K, bh, w)."""
+    i = pl.program_id(1)
+    xw = xp_ref[0, :, pl.ds(i * bh, bh + 2 * pad), :]  # (3, bh+2p, Wp) f32
+    x = xw[:, pad:pad + bh, pad:pad + w]
+
+    k = len(offsets)
+    s1 = jnp.zeros_like(x)
+    s2 = jnp.zeros_like(x)
+    for dy, dx in offsets:
+        t = xw[:, pad + dy:pad + dy + bh, pad + dx:pad + dx + w]
+        s1 = s1 + t
+        s2 = s2 + t * t
+    mean = s1 * (1.0 / k)
+    var = jnp.maximum(s2 - k * mean * mean, 0.0) * (1.0 / (k - 1))
+    inv = inv_w1 / (jnp.sqrt(var) + 1e-8)                      # (3, bh, w)
+
+    for j, (dy, dx) in enumerate(offsets):
+        t = xw[:, pad + dy:pad + dy + bh, pad + dx:pad + dx + w]
+        z = jnp.abs(t - x) * inv
+        logits[j] = -jnp.mean(z * z, axis=0)                   # (bh, w)
+
+    sc = logits[:]                                             # (K, bh, w)
+    m = jnp.max(sc, axis=0, keepdims=True)
+    e = jnp.exp(sc - m)
+    out_ref[0] = e / jnp.sum(e, axis=0, keepdims=True)
+    # position term: per-tap python-float adds (array constants cannot be
+    # captured by a pallas kernel)
+    for j, pv in enumerate(pos):
+        out_ref[0, j] += pv
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dilations", "w1", "w2", "row_tile", "interpret"))
+def affinity_pallas(
+    imgs: jax.Array,
+    dilations: Sequence[int] = (1, 2, 4, 8, 12, 24),
+    w1: float = 0.3,
+    w2: float = 0.01,
+    row_tile: int = 56,
+    interpret: bool = False,
+) -> jax.Array:
+    """48-tap RGB affinity as one VMEM-resident kernel; returns (B, K, H, W)
+    f32 — the channels-first layout ``propagate_pallas`` consumes directly.
+
+    Numerically identical formulation to ``ops.par.rgb_affinity`` (streaming
+    Σx/Σx² std, channel-mean z², max-subtracted softmax, + position term).
+    The op is VPU-compute-bound, so the win over XLA's fused elementwise code
+    is modest — 34.7 vs 38.2 ms at the inference refine size (32, 224, 224),
+    row_tile=56 — but the channels-first output also removes the (B, H, W, K)
+    -> (B, K, H, W) transpose ``propagate_pallas`` otherwise performs (300 MB
+    at that size).  row_tile=224 (whole image per program) fails remote
+    compile on VMEM; 56 measures fastest of {56, 112}."""
+    import math as _math
+
+    b, h, w, _ = imgs.shape
+    pad = max(dilations)
+    bh = min(row_tile, h)
+    assert h % bh == 0, (h, bh)
+    offsets = tuple(_offsets(dilations))
+    k = len(offsets)
+
+    # position affinity, in plain python (static): model/PAR.py:51-62
+    dist = [_math.sqrt(2.0) * d if (dy and dx) else float(d)
+            for d in dilations for dy, dx in OFFSETS]
+    n = len(dist)
+    mu = sum(dist) / n
+    sd = _math.sqrt(sum((v - mu) ** 2 for v in dist) / (n - 1))
+    pl_logits = [-((v / (sd + 1e-8) / w1) ** 2) for v in dist]
+    mx = max(pl_logits)
+    es = [_math.exp(v - mx) for v in pl_logits]
+    tot = sum(es)
+    pos = tuple(float(w2 * v / tot) for v in es)
+
+    xp = jnp.pad(imgs.astype(jnp.float32),
+                 ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    xp = jnp.moveaxis(xp, -1, 1)                               # (B, 3, Hp, Wp)
+    hp, wp = xp.shape[2:]
+
+    kern = functools.partial(
+        _aff_kernel, offsets=offsets, pos=pos, inv_w1=1.0 / w1,
+        h=h, w=w, bh=bh, pad=pad,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h // bh),
+        in_specs=[pl.BlockSpec((1, 3, hp, wp), lambda bi, ri: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, k, bh, w), lambda bi, ri: (bi, 0, ri, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, bh, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xp)
+    return out

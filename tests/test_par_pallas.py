@@ -60,3 +60,33 @@ def test_pallas_propagate_bf16_argmax_stable(rng):
     assert err.max() < 0.08, f"bf16 PAR tail error {err.max():.4f}"
     agree = (out.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.995, f"bf16 PAR argmax agreement {agree:.4f}"
+
+
+def test_affinity_pallas_matches_xla(rng):
+    """The VMEM-resident affinity kernel must match ops.par.rgb_affinity
+    (streaming std, channel-mean z², softmax + position term) exactly,
+    including with row-band tiling (h > row_tile)."""
+    from dupl_tpu.ops.par_pallas import affinity_pallas
+
+    b, h, w = 2, 64, 48
+    imgs = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    ref = par_ops.rgb_affinity(imgs, DIL)                       # (B, H, W, K)
+    out = affinity_pallas(imgs, DIL, row_tile=32, interpret=True)  # (B,K,H,W)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(out), 1, -1),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_affinity_pallas_feeds_propagate(rng):
+    """End-to-end kernel path (affinity bkhw -> propagate aff_layout) matches
+    the XLA par_refine."""
+    from dupl_tpu.ops.par_pallas import affinity_pallas
+
+    b, h, w, c = 1, 32, 32, 7
+    imgs = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    masks = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    ref = par_ops.par_refine(imgs, masks, DIL, num_iter=2, use_pallas=False)
+    aff = affinity_pallas(imgs, DIL, row_tile=32, interpret=True)
+    out = propagate_pallas(masks, aff, DIL, 2, interpret=True,
+                           aff_layout="bkhw")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

@@ -35,6 +35,17 @@ ref = np.asarray(jax.nn.dot_product_attention(q, k, v, scale=d ** -0.5))
 err = np.abs(out - ref).max()
 assert err < 5e-2, f"exp_attention native mismatch: {err}"
 
+# exp-attention fused backward: native kernel vs the XLA recompute vjp
+def loss(q):
+    return jnp.sum(attn.exp_attention(q, k, v, scale=d ** -0.5) ** 2)
+g = np.asarray(jax.grad(loss)(q))
+def loss_ref(q):
+    return jnp.sum(jax.nn.dot_product_attention(q, k, v, scale=d ** -0.5) ** 2)
+gr = np.asarray(jax.grad(loss_ref)(q))
+scale_g = np.abs(gr).max()
+err = np.abs(g - gr).max() / max(scale_g, 1e-6)
+assert err < 8e-2, f"exp_attention native bwd mismatch: rel {err}"
+
 # PAR: native Pallas propagate vs XLA propagate
 imgs = jnp.asarray(rs.rand(2, 96, 96, 3), jnp.float32)
 masks = jnp.asarray(rs.rand(2, 96, 96, 8), jnp.float32)
