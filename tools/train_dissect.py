@@ -11,7 +11,9 @@ from dupl_tpu.engine.train import Trainer
 from dupl_tpu.ops import augment as augment_ops
 from dupl_tpu.ops import image as image_ops
 
-cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16"))
+cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
+                                   cam_stream_dtype="bfloat16"),
+                 cam_merge_downscale=2)
 trainer = Trainer(cfg)
 b = 8
 batch = {k: jnp.asarray(v) for k, v in synthetic_batch(b, crop=448).items()}
