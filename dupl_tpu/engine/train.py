@@ -139,6 +139,33 @@ class Trainer:
 
         return jax.vmap(one_branch)(p)  # (cams, cams_aux) each (2, B, H, W, C)
 
+    def _cams_with_grad_out(self, params, inputs):
+        """Multi-scale CAMs (no grad) + the differentiated scale-1.0 forward.
+
+        The scale-1.0 unflipped encoder pass is shared between the CAM fusion
+        (stop-gradient, ``Student.forward_with_cams``) and the head outputs
+        the losses differentiate — the reference runs it twice (the no-grad
+        ``multi_scale_cam2_siamese`` pass, train_final_voc.py:216, and the
+        grad forward :437); fusing them drops one full ViT forward per branch
+        per step.  Non-1.0 scales run the (optionally bf16-stream) cam model
+        on stop-gradient params.  Returns (cams, cams_aux, out) with ``out``
+        the unflipped scale-1.0 StudentOut, branch-stacked."""
+        d = self.cfg.cam_merge_downscale
+        msize = (None if d is None
+                 else (inputs.shape[1] // d, inputs.shape[2] // d))
+
+        def one_branch(pb):
+            return cam_ops.multi_scale_cam_with_outputs(
+                lambda x: self.model.module.apply(
+                    pb, x, method=Student.forward_with_cams),
+                lambda x: self.cam_model.module.apply(
+                    jax.lax.stop_gradient(pb), x, method=Student.cam_only),
+                inputs, self.cfg.cam_scales, with_aux=True, merge_size=msize,
+                split_flip=True,
+            )
+
+        return jax.vmap(one_branch)(params)
+
     def _par_fn(self, imgs, masks):
         p = self.cfg.par
         return par_ops.par_refine(
@@ -237,12 +264,10 @@ class Trainer:
         inputs, cls_label, img_box = batch["image"], batch["cls_label"], batch["img_box"]
         grid = inputs.shape[1] // cfg.model.patch_size
 
-        _, cams_aux = self._multi_scale_cams(state.params, inputs)
-        aff = self._ptc_targets(cams_aux, cls_label, img_box, grid,
-                                high_thre=None, dynamic=False)
-
         def loss_fn(params):
-            out = self.model.apply(params, inputs)
+            _, cams_aux, out = self._cams_with_grad_out(params, inputs)
+            aff = self._ptc_targets(cams_aux, cls_label, img_box, grid,
+                                    high_thre=None, dynamic=False)
             cls_l, ptc_l, sim_l = self._common_losses(out, cls_label, aff)
             total = weights[0] * cls_l + weights[1] * ptc_l + weights[3] * sim_l
             return total, {"cls_loss": cls_l, "ptc_loss": ptc_l,
@@ -266,19 +291,17 @@ class Trainer:
         inputs_denorm = image_ops.denormalize(inputs)
 
         high_b = self._high_thresholds(state.step, cls_label)
-        cams, cams_aux = self._multi_scale_cams(state.params, inputs)
-
         dynamic = not static_refine
-        aff = self._ptc_targets(cams_aux, cls_label, img_box, grid,
-                                high_thre=high_b, dynamic=dynamic)
-        refined = self._refine(
-            cams_aux if static_refine else cams,
-            inputs_denorm, cls_label, img_box,
-            high_thre=cfg.high_thre if static_refine else high_b,
-        )
 
         def loss_fn(params):
-            out = self.model.apply(params, inputs)
+            cams, cams_aux, out = self._cams_with_grad_out(params, inputs)
+            aff = self._ptc_targets(cams_aux, cls_label, img_box, grid,
+                                    high_thre=high_b, dynamic=dynamic)
+            refined = self._refine(
+                cams_aux if static_refine else cams,
+                inputs_denorm, cls_label, img_box,
+                high_thre=cfg.high_thre if static_refine else high_b,
+            )
             cls_l, ptc_l, sim_l = self._common_losses(out, cls_label, aff)
             segs_up = image_ops.resize_bilinear(out.seg, (h, w), batch_dims=2)
             # cross supervision: student k learns from the OTHER student's labels
@@ -314,13 +337,12 @@ class Trainer:
         inputs_aug_small = image_ops.resize_bilinear(inputs_aug, (ha, wa))
 
         high_b = self._high_thresholds(state.step, cls_label)
-        cams, cams_aux = self._multi_scale_cams(state.params, inputs)
-        aff = self._ptc_targets(cams_aux, cls_label, img_box, grid,
-                                high_thre=high_b, dynamic=True)
-        refined = self._refine(cams, inputs_denorm, cls_label, img_box, high_b)
 
         def loss_fn(params):
-            out = self.model.apply(params, inputs)
+            cams, cams_aux, out = self._cams_with_grad_out(params, inputs)
+            aff = self._ptc_targets(cams_aux, cls_label, img_box, grid,
+                                    high_thre=high_b, dynamic=True)
+            refined = self._refine(cams, inputs_denorm, cls_label, img_box, high_b)
             out_aug = self.model.apply(params, inputs_aug_small)
             cls_l, ptc_l, sim_l = self._common_losses(out, cls_label, aff)
 

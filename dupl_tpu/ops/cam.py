@@ -130,6 +130,7 @@ def multi_scale_cam_with_outputs(
     *,
     with_aux: bool = True,
     merge_size: Optional[Tuple[int, int]] = None,
+    split_flip: bool = False,
 ):
     """Like :func:`multi_scale_cam`, but the scale-1.0 pass runs the *full*
     student forward (``Student.forward_with_cams``) so inference pipelines get
@@ -147,7 +148,15 @@ def multi_scale_cam_with_outputs(
     resolution (input/2): the full-res merge exists in the reference only to
     be bilinearly downscaled again by ``refine_cams_with_bkg`` — merging at
     the consumer's resolution quarters the merge HBM traffic at a sub-percent
-    pseudo-label deviation (bounded by tests/test_cam.py)."""
+    pseudo-label deviation (bounded by tests/test_cam.py).
+
+    ``split_flip``: run the scale-1.0 UNFLIPPED batch through ``full_fn`` and
+    the flipped batch through ``cam_fn`` instead of one 2B concat.  For
+    differentiated callers (the fused train step) this keeps the flipped
+    view out of the backward pass — under a 2B concat XLA drags the flipped
+    half's activations through every saved tensor and the attention backward,
+    which costs more than the fused forward saves.  Inference keeps the
+    single-concat form (bigger MXU batch, no backward)."""
     b, h, w, _ = inputs.shape
     mh, mw = merge_size if merge_size is not None else (h, w)
     out_keep = None
@@ -160,12 +169,19 @@ def multi_scale_cam_with_outputs(
     cam_sum = aux_sum = None
     for s in scales:
         x = inputs if s == 1.0 else image_ops.resize_bilinear(inputs, (int(s * h), int(s * w)))
-        both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
-        if s == 1.0:
-            out, cam, cam_aux = full_fn(both)
-            out_keep = jax.tree.map(lambda a: a[:b], out)
+        if s == 1.0 and split_flip:
+            out, cam_u, aux_u = full_fn(x)
+            out_keep = out
+            cam_f, aux_f = cam_fn(x[:, :, ::-1, :])
+            cam = jnp.concatenate([cam_u, cam_f], axis=0)
+            cam_aux = jnp.concatenate([aux_u, aux_f], axis=0)
         else:
-            cam, cam_aux = cam_fn(both)
+            both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+            if s == 1.0:
+                out, cam, cam_aux = full_fn(both)
+                out_keep = jax.tree.map(lambda a: a[:b], out)
+            else:
+                cam, cam_aux = cam_fn(both)
         cam_sum = merge(cam) if cam_sum is None else cam_sum + merge(cam)
         if with_aux:
             aux_sum = merge(cam_aux) if aux_sum is None else aux_sum + merge(cam_aux)
