@@ -175,25 +175,18 @@ class Trainer:
 
     def _refine(self, cams, inputs_denorm, cls_label, img_box, high_thre):
         """PAR-refined pseudo-labels per branch.  The branch axis folds into
-        the batch so both students' refinements (and both background planes,
-        see refine_cams_with_bkg) ride one PAR kernel launch."""
+        the CLASS axis (refine_cams_with_bkg view axis) so both students'
+        refinements — and both background planes — ride one PAR kernel launch
+        whose image-only affinity is computed once per image, not per
+        branch."""
         cfg = self.cfg
-        nb, b = cams.shape[0], cams.shape[1]
         valid = cams * cls_label[None, :, None, None, :]
-        flat = valid.reshape((nb * b,) + valid.shape[2:])
-
-        def tile(x):
-            return jnp.concatenate([x] * nb, axis=0)
-
-        high = jnp.asarray(high_thre, cams.dtype)
-        refined = cam_ops.refine_cams_with_bkg(
-            self._par_fn, tile(inputs_denorm), flat, tile(cls_label),
-            high_thre=tile(high) if high.ndim >= 1 else high,
-            low_thre=cfg.low_thre, img_box=tile(img_box),
+        return cam_ops.refine_cams_with_bkg(
+            self._par_fn, inputs_denorm, valid, cls_label,
+            high_thre=high_thre, low_thre=cfg.low_thre, img_box=img_box,
             ignore_index=cfg.ignore_index, down_scale=cfg.par.down_scale,
             class_budget=cfg.par.class_budget,
         )
-        return refined.reshape(nb, b, *refined.shape[1:])
 
     def _ptc_targets(self, cams_aux, cls_label, img_box, grid, high_thre, dynamic):
         """Affinity targets for the PTC loss from aux CAMs at patch resolution

@@ -211,8 +211,12 @@ def refine_cams_with_bkg(
     ``refine_cams_with_bkg_v2`` (scalar ``high_thre``) and
     ``refine_cams_with_dynamic_thres`` (per-sample (B,) or (B, H, W, 1) map)).
 
-    images: (B, H, W, 3) denormalised [0,1]; cams: (B, H, W, C_fg) already
-    masked by the class label; cls_label: (B, C_fg).
+    images: (B, H, W, 3) denormalised [0,1]; cams: (B, H, W, C_fg) — or
+    (V, B, H, W, C_fg) for V CAM views of the SAME images (the dual students):
+    every view's planes concatenate on the class axis so the whole refinement
+    is ONE PAR call whose (expensive, image-only) affinity is computed once
+    per image rather than once per view; returns (V, B, H, W) labels then.
+    cams are already masked by the class label; cls_label: (B, C_fg).
 
     Two refinement passes run with a constant background plane at the high and
     low threshold; merge: label = high-pass label, except {high == 0 -> ignore;
@@ -228,6 +232,10 @@ def refine_cams_with_bkg(
     """
     b, h, w, _ = images.shape
     hs, ws = h // down_scale, w // down_scale
+    squeeze_view = cams.ndim == 4
+    if squeeze_view:
+        cams = cams[None]
+    v = cams.shape[0]
 
     # Bilinear resize acts per channel and preserves constants, so
     # resize(concat([bkg, cams])) == concat([bkg_small, resize(cams)]):
@@ -246,29 +254,40 @@ def refine_cams_with_bkg(
     )
 
     images_small = image_ops.resize_bilinear(images, (hs, ws))
-    cams_small = (cams if cams.shape[1:3] == (hs, ws)
-                  else image_ops.resize_bilinear(cams, (hs, ws)))
-    cams_h_small = jnp.concatenate([bkg_h_small, cams_small], axis=-1)
-    cams_l_small = jnp.concatenate([bkg_l_small, cams_small], axis=-1)
+    cams_small = (cams if cams.shape[2:4] == (hs, ws)
+                  else image_ops.resize_bilinear(cams, (hs, ws), batch_dims=2))
 
-    # Both background planes ride ONE PAR call: propagation is independent per
-    # channel, so the high- and low-threshold stacks concatenate on the class
-    # axis and the (expensive, image-only) affinity is computed once.
+    # ALL planes — per view a high- and a low-threshold background stack —
+    # ride ONE PAR call: propagation is independent per channel, so the 2V
+    # stacks concatenate on the class axis (plane order: v0_hi, v0_lo,
+    # v1_hi, v1_lo, ...) and the (expensive, image-only) affinity is
+    # computed once per image, not once per view or plane.
     def masked_softmax(stack):
         neg_inf = jnp.asarray(-1e30, stack.dtype)
         stack = jnp.where(cls_with_bkg[:, None, None, :] > 0, stack, neg_inf)
         return jax.nn.softmax(stack, axis=-1)
 
-    nclass = cams_h_small.shape[-1]
-    probs = jnp.concatenate(
-        [masked_softmax(cams_h_small), masked_softmax(cams_l_small)], axis=-1)
+    nclass = cams_small.shape[-1] + 1
+    planes = []
+    for vi in range(v):
+        planes.append(masked_softmax(
+            jnp.concatenate([bkg_h_small, cams_small[vi]], axis=-1)))
+        planes.append(masked_softmax(
+            jnp.concatenate([bkg_l_small, cams_small[vi]], axis=-1)))
+    probs = jnp.concatenate(planes, axis=-1)     # (B, hs, ws, 2V * nclass)
+
+    def _per_plane_labels(refined, k):
+        """(B, h, w, 2V*k) refined stacks -> high/low argmax labels,
+        each (V, B, h, w)."""
+        r = refined.reshape(refined.shape[:3] + (2 * v, k))
+        lab = jnp.argmax(r, axis=-1).astype(jnp.int32)      # (B, h, w, 2V)
+        lab = jnp.moveaxis(lab, -1, 0)                      # (2V, B, h, w)
+        return lab[0::2], lab[1::2]
 
     def _full_labels(probs):
         refined = par_fn(images_small, probs)
         refined = image_ops.resize_bilinear(refined, (h, w))
-        lh = jnp.argmax(refined[..., :nclass], axis=-1).astype(jnp.int32)
-        ll = jnp.argmax(refined[..., nclass:], axis=-1).astype(jnp.int32)
-        return lh, ll
+        return _per_plane_labels(refined, nclass)
 
     if class_budget is not None and class_budget < nclass:
         # The reference gathers each image's PRESENT classes before PAR
@@ -293,20 +312,19 @@ def refine_cams_with_bkg(
             # cost more than the compaction saved; the (B, K, nclass)
             # selection matrix rides the MXU and fuses with the softmax
             sel = jax.nn.one_hot(idx, nclass, dtype=probs.dtype)  # (B, K, n)
-            gather = lambda p: jnp.einsum("bhwc,bkc->bhwk", p, sel)
-            refined = par_fn(images_small, jnp.concatenate(
-                [gather(probs[..., :nclass]), gather(probs[..., nclass:])],
-                axis=-1))
+            p = probs.reshape(probs.shape[:3] + (2 * v, nclass))
+            compact = jnp.einsum("bhwvc,bkc->bhwvk", p, sel)
+            refined = par_fn(
+                images_small, compact.reshape(compact.shape[:3] + (2 * v * k,)))
             refined = image_ops.resize_bilinear(refined, (h, w))
-            ah = jnp.argmax(refined[..., :k], axis=-1)
-            al = jnp.argmax(refined[..., k:], axis=-1)
+            ah, al = _per_plane_labels(refined, k)          # slots, (V, B, h, w)
 
             def unmap(a):
                 # compact slot -> class id WITHOUT a gather (per-pixel
                 # table gathers are the slowest op on TPU): k selects
                 out = jnp.zeros(a.shape, jnp.int32)
                 for j in range(k):
-                    out = jnp.where(a == j, idx[:, j, None, None], out)
+                    out = jnp.where(a == j, idx[None, :, j, None, None], out)
                 return out
 
             return unmap(ah), unmap(al)
@@ -317,10 +335,10 @@ def refine_cams_with_bkg(
         label_h, label_l = _full_labels(probs)
 
     if img_box is not None:
-        inside = image_ops.box_mask(img_box, h, w)
+        inside = image_ops.box_mask(img_box, h, w)[None]     # over views
         label_h = jnp.where(inside, label_h, ignore_index)
         label_l = jnp.where(inside, label_l, ignore_index)
 
     label = jnp.where(label_h == 0, ignore_index, label_h)
     label = jnp.where((label_h + label_l) == 0, 0, label)
-    return label
+    return label[0] if squeeze_view else label
