@@ -144,7 +144,11 @@ def _exp_attention_bhnd(q: jax.Array, k: jax.Array, v: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, np_, d), jnp.float32),
+        # bf16 output: the fp32 pv/denom result is rounded in-kernel.  Every
+        # consumer either runs a bf16 residual stream (inference) or casts to
+        # bf16 at the next matmul anyway; emitting bf16 halves the kernel's
+        # output HBM traffic and the following reshape/transpose pass.
+        out_shape=jax.ShapeDtypeStruct((bh, np_, d), jnp.bfloat16),
         interpret=interpret,
     )(qp, ktp, vp)
     return out[:, :n]
@@ -233,7 +237,9 @@ def _exp_attention_bwd(interpret, res, g):
     if _pad_to(q.shape[1], 128) <= _BWD_MAX_SEQ:
         return _exp_attention_bwd_fused(q, k, v, g, interpret=interpret)
     _, vjp = jax.vjp(_exp_attention_ref, q, k, v)
-    return vjp(g)
+    # the primal kernel emits bf16; the fp32 reference vjp needs a matching
+    # cotangent dtype
+    return vjp(g.astype(jnp.float32))
 
 
 _exp_attention.defvjp(_exp_attention_fwd, _exp_attention_bwd)

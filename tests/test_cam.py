@@ -190,3 +190,34 @@ def test_class_budget_exact(rng):
         par_fn, imgs01, cams * jnp.asarray(cls)[:, None, None, :],
         jnp.asarray(cls), class_budget=max(2, budget - 3), **kw))
     np.testing.assert_array_equal(full, tight)
+
+
+def test_refine_view_axis_matches_per_view(rng):
+    """(V, B, ...) CAM views through ONE refine call (branch axis folded into
+    the PAR class axis, shared per-image affinity) label exactly like refining
+    each view separately — with and without class-axis compaction."""
+    from dupl_tpu.ops import par as par_ops
+
+    v, b, h, c = 2, 3, 64, 6
+    base = rng.rand(b, 8, 8, 3).astype(np.float32)
+    imgs01 = jnp.asarray(image_ops.resize_bilinear(jnp.asarray(base), (h, h)))
+    cams = jnp.asarray(rng.rand(v, b, h, h, c).astype(np.float32))
+    cls = (rng.rand(b, c) > 0.4).astype(np.float32)
+    cls[:, 0] = 1
+    clsj = jnp.asarray(cls)
+    box = jnp.asarray([[0, h, 0, h // 2]] * b, jnp.int32)
+
+    def par_fn(im, masks):
+        return par_ops.par_refine(im, masks, num_iter=2, use_pallas=False)
+
+    valid = cams * clsj[None, :, None, None, :]
+    for budget in (None, int(cls.sum(1).max()) + 1):
+        kw = dict(high_thre=0.7, low_thre=0.25, img_box=box, down_scale=2,
+                  class_budget=budget)
+        stacked = np.asarray(cam_ops.refine_cams_with_bkg(
+            par_fn, imgs01, valid, clsj, **kw))
+        assert stacked.shape == (v, b, h, h)
+        for vi in range(v):
+            single = np.asarray(cam_ops.refine_cams_with_bkg(
+                par_fn, imgs01, valid[vi], clsj, **kw))
+            np.testing.assert_array_equal(stacked[vi], single)
