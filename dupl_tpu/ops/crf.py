@@ -38,6 +38,11 @@ import jax.numpy as jnp
 from dupl_tpu.config import CrfConfig
 
 
+@functools.lru_cache(maxsize=None)
+def _use_pallas_apply() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def _gaussian_kernel_2d(std: float, radius: int) -> jnp.ndarray:
     ax = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k1 = jnp.exp(-0.5 * (ax / std) ** 2)
@@ -148,6 +153,12 @@ def mean_field_crf(
         def cross_apply(values_small: jax.Array) -> jax.Array:
             """K_cross @ values_small, tiled over pixel rows.
             values_small: (Ns, V) -> (N, V)."""
+            if _use_pallas_apply():
+                # flash-style fused build+exp+contract: the fp32 score tile
+                # and bf16 kernel tile stay in VMEM (the XLA tile loop below
+                # round-trips both through HBM — the apply is bandwidth-bound)
+                from dupl_tpu.ops.crf_pallas import kernel_apply
+                return kernel_apply(basis_full, coef, logc, values_small)
 
             def tile_fn(bt):
                 logk = jnp.dot(bt, coef, preferred_element_type=jnp.float32)

@@ -48,3 +48,25 @@ def test_return_logits_same_labels(rng):
     marg = np.asarray(crf_ops.mean_field_crf(img, probs, **kw))
     lg = np.asarray(crf_ops.mean_field_crf(img, probs, return_logits=True, **kw))
     np.testing.assert_array_equal(marg.argmax(-1), lg.argmax(-1))
+
+
+def test_pallas_kernel_apply_parity(rng):
+    """crf_pallas.kernel_apply (interpret) == the XLA tile formulation it
+    replaces on TPU: exp(min(basis @ coef, logc)) with bf16 kernel entries
+    contracted against the value matrix."""
+    from dupl_tpu.ops.crf_pallas import kernel_apply
+
+    n, ns, d, v = 700, 300, 11, 22  # deliberately unaligned sizes
+    basis = jnp.asarray(rng.standard_normal((n, d)) * 2.0, jnp.float32)
+    coef = jnp.asarray(rng.standard_normal((d, ns)) * 0.1, jnp.float32)
+    logc = jnp.asarray(-np.abs(rng.standard_normal(ns)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((ns, v)), jnp.float32)
+
+    got = np.asarray(kernel_apply(basis, coef, logc, vals, interpret=True))
+
+    k = np.exp(np.minimum(np.asarray(basis) @ np.asarray(coef),
+                          np.asarray(logc)[None, :]))
+    want = k.astype(jnp.bfloat16).astype(np.float32) @ np.asarray(
+        vals, jnp.bfloat16).astype(np.float32)
+    assert got.shape == (n, v)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

@@ -46,6 +46,20 @@ scale_g = np.abs(gr).max()
 err = np.abs(g - gr).max() / max(scale_g, 1e-6)
 assert err < 8e-2, f"exp_attention native bwd mismatch: rel {err}"
 
+# CRF kernel-apply: native fused build+exp+contract vs the XLA tile math
+from dupl_tpu.ops.crf_pallas import kernel_apply
+basis = jnp.asarray(rs.randn(700, 11) * 2.0, jnp.float32)
+coef = jnp.asarray(rs.randn(11, 300) * 0.1, jnp.float32)
+logc = jnp.asarray(-np.abs(rs.randn(300)), jnp.float32)
+vals = jnp.asarray(rs.randn(300, 22), jnp.float32)
+got = np.asarray(kernel_apply(basis, coef, logc, vals))
+kk = np.exp(np.minimum(np.asarray(basis) @ np.asarray(coef),
+                       np.asarray(logc)[None, :]))
+want = kk.astype(jnp.bfloat16).astype(np.float32) @ np.asarray(
+    vals, jnp.bfloat16).astype(np.float32)
+err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+assert err < 2e-2, f"crf kernel_apply native mismatch: rel {err}"
+
 # PAR: native Pallas propagate vs XLA propagate
 imgs = jnp.asarray(rs.rand(2, 96, 96, 3), jnp.float32)
 masks = jnp.asarray(rs.rand(2, 96, 96, 8), jnp.float32)
