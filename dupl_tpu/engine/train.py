@@ -364,8 +364,11 @@ class Trainer:
             # predictions inside the other label's ignore region (voc:404-436)
             segs_aug = out_aug.seg[:, :, :, ::-1, :]  # flip back (B axis is 1)
             segs_aug = image_ops.resize_bilinear(segs_aug, (h, w), batch_dims=2)
-            probs = jax.nn.softmax(segs_sg, axis=-1)
-            conf = jnp.max(probs, axis=-1)
+            # conf = max(softmax) = exp(max - logsumexp): reductions over the
+            # lane-padded class-minor tensor instead of materialising the full
+            # softmax map (see ops/losses.py:cross_entropy_map note)
+            m = jnp.max(segs_sg, axis=-1)
+            conf = jnp.exp(m - jax.nn.logsumexp(segs_sg, axis=-1))
             pseudo = jnp.argmax(segs_sg, axis=-1).astype(jnp.int32)
 
             def reg_branch(k):

@@ -145,7 +145,9 @@ def gmm_filter_labels(
     post = posterior(fit, x)  # (B, HW, 2)
 
     noise_comp = jnp.argmax(fit.means, axis=-1)  # (B,)
-    p_noise = jnp.take_along_axis(post, noise_comp[:, None, None], axis=-1)[..., 0]
+    # where-select instead of take_along_axis: minor-dim gathers lower to
+    # per-element dynamic slices on TPU
+    p_noise = jnp.where((noise_comp == 1)[:, None], post[..., 1], post[..., 0])
 
     valid = (fit.count > min_pixels) & (
         jnp.abs(fit.means[..., 1] - fit.means[..., 0]) > valid_thre

@@ -73,3 +73,41 @@ def grad_step(params, aff):
 
 dt = timeit(grad_step, state.params, aff)
 print(f"dual fwd/bwd + losses: {dt*1e3:.1f} ms")
+
+
+# --- the unmeasured tail: GMM filter, optimizer update, and the full fused step
+from dupl_tpu.ops import gmm as gmm_ops
+from dupl_tpu.ops import losses as loss_ops2
+
+refined = ref(cams, denorm, cls_label, img_box)
+segs = jnp.zeros((2, b, 448, 448, cfg.num_classes + 1), jnp.float32)
+
+@jax.jit
+def gmm_step(segs, refined):
+    def filter_branch(k):
+        ce = loss_ops2.cross_entropy_map(segs[k], refined[k], cfg.ignore_index)
+        return gmm_ops.gmm_filter_labels(
+            ce, refined[k], num_iter=cfg.gmm.num_iter,
+            reg_covar=cfg.gmm.reg_covar, loss_floor=cfg.gmm.loss_floor,
+            min_pixels=cfg.gmm.min_pixels, valid_thre=cfg.gmm.valid_thre,
+            gamma=cfg.gmm.gamma, ignore_index=cfg.ignore_index)
+    return jnp.stack([filter_branch(0), filter_branch(1)])
+
+dt = timeit(gmm_step, segs, refined)
+print(f"GMM filter (CE map + EM, 2 branches): {dt*1e3:.1f} ms")
+
+grads = jax.tree.map(jnp.zeros_like, state.params)
+
+@jax.jit
+def opt_step(state, grads):
+    return trainer._apply_updates(state, grads)
+
+dt = timeit(opt_step, state, grads)
+print(f"optimizer update (AdamW 2x86M): {dt*1e3:.1f} ms")
+
+from dupl_tpu.engine.train import loss_weights
+w = jnp.asarray(loss_weights(cfg, cfg.gmm_iters + 1))
+# non-donating jit for repeat timing (the live step donates state)
+full = jax.jit(trainer._step_full)
+dt = timeit(full, state, batch, w)
+print(f"full fused phase-3 step: {dt*1e3:.1f} ms -> {1/dt:.2f} it/s")
