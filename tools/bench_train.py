@@ -20,7 +20,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--phase", default="full", choices=["warmup", "seg", "full"])
+    ap.add_argument("--phase", default="full",
+                    choices=["warmup", "seg_static", "seg", "full"])
+    ap.add_argument("--dataset", default="voc", choices=["voc", "coco"])
     args = ap.parse_args()
 
     import numpy as np
@@ -30,23 +32,28 @@ def main():
     from dupl_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from dupl_tpu.config import voc_config, ModelConfig
+    from dupl_tpu.config import voc_config, coco_config, ModelConfig
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer
 
-    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
-                                       cam_stream_dtype="bfloat16"),
-                     cam_merge_downscale=2)
+    mk = voc_config if args.dataset == "voc" else coco_config
+    model_kw = dict(backbone="deit_base_patch16", cam_stream_dtype="bfloat16")
+    if args.dataset == "coco":
+        model_kw.update(num_classes=81, aux_layer=9)
+    cfg = mk(model=ModelConfig(**model_kw), cam_merge_downscale=2)
     trainer = Trainer(cfg)
 
     b = args.batch
-    batch = synthetic_batch(b, crop=cfg.data.crop_size)
+    batch = synthetic_batch(b, crop=cfg.data.crop_size, num_fg=cfg.model.num_fg)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     rng = jax.random.PRNGKey(0)
     state = trainer.init_state(rng, dev_batch["image"][:1])
     # jump the step counter into the requested phase
-    step0 = {"warmup": 0, "seg": cfg.cam_iters, "full": cfg.gmm_iters}[args.phase]
+    step0 = {"warmup": 0, "seg_static": cfg.cam_iters,
+             "seg": (cfg.refine_switch_iters if cfg.refine_switch_iters
+                     is not None else cfg.cam_iters),
+             "full": cfg.gmm_iters}[args.phase]
     state = state._replace(step=jnp.int32(step0))
 
     def sync(x):
