@@ -103,8 +103,11 @@ class Attention(nn.Module):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = QDense(self.dim * 3, dtype=self.dtype, quant=self.quant, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
+        # split as contiguous column ranges (same math as reshape(3, H, D) +
+        # index 0/1/2): each slice feeds the attention layout directly, no
+        # (b, n, 3, h, d) intermediate + strided slice passes
+        q, k, v = (qkv[..., i * self.dim:(i + 1) * self.dim]
+                   .reshape(b, n, self.num_heads, head_dim) for i in range(3))
         from dupl_tpu.ops.attention import dot_attention
         x = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
                           v.astype(self.dtype), scale=head_dim ** -0.5)

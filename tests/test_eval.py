@@ -62,6 +62,19 @@ def test_validator_runs(tiny_setup):
     assert "mIoU" in res["table"]
 
 
+def test_validator_bf16_transfer_same_scores(tiny_setup):
+    """transfer_dtype='bfloat16' (remote-relay transfer saver) must not move
+    any reported score on the tiny model: CAMs are [0, 1]-normalised, so the
+    rounding sits far below the banding thresholds."""
+    cfg, trainer, params = tiny_setup
+    a = Validator(cfg, trainer.model).run(params, FakeSegDataset())
+    b = Validator(cfg, trainer.model,
+                  transfer_dtype="bfloat16").run(params, FakeSegDataset())
+    for key in ("seg_1_miou", "seg_2_miou", "cam_1_miou", "cam_2_miou",
+                "cam_aux_1_miou", "cam_aux_2_miou"):
+        assert abs(a[key] - b[key]) < 5e-3, (key, a[key], b[key])
+
+
 def test_seg_evaluator_no_crf(tiny_setup):
     cfg, trainer, params = tiny_setup
     ev = SegEvaluator(cfg, trainer.model, scales=(1.0, 1.5), merge="max")

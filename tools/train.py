@@ -44,6 +44,11 @@ def parse_args():
                    help="resume from the latest checkpoint in work-dir")
     p.add_argument("--eval-iters", type=int, default=None)
     p.add_argument("--log-iters", type=int, default=None)
+    p.add_argument("--val-transfer-dtype", default=None,
+                   choices=["bfloat16"],
+                   help="round CAM tensors before device->host transfer "
+                        "during validation (remote-relay devices; default "
+                        "exact f32)")
     p.add_argument("--profile-iters", type=int, nargs=2, default=None,
                    metavar=("START", "STOP"),
                    help="capture a jax.profiler trace between these steps")
