@@ -119,14 +119,15 @@ class Validator:
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
             samples = [dataset[i] for i in idxs]
-            imgs = np.stack([
-                np.asarray(image_ops.resize_bilinear(
-                    jax.numpy.asarray(s["image"])[None], (crop, crop))[0])
-                for s in samples])
+            # per-image resize runs eagerly on device; the resized arrays STAY
+            # on device (a host round-trip per image costs ~0.3 s on a
+            # remote-relay tunnel) and are stacked there
+            imgs = [image_ops.resize_bilinear(
+                jax.numpy.asarray(s["image"])[None], (crop, crop))[0]
+                for s in samples]
             if len(idxs) < batch_size:  # pad to the compiled shape
-                pad = batch_size - len(idxs)
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
-            cls_b, seg_b, cams_b, cams_aux_b = fn(params, jax.numpy.asarray(imgs))
+                imgs += [imgs[-1]] * (batch_size - len(idxs))
+            cls_b, seg_b, cams_b, cams_aux_b = fn(params, jax.numpy.stack(imgs))
             cls_b = np.asarray(cls_b)
             seg_b = np.asarray(seg_b, np.float32)
             cams_b = np.asarray(cams_b, np.float32)

@@ -32,15 +32,21 @@ the oracle for validation is the native permutohedral implementation
 from __future__ import annotations
 
 import functools
+from typing import Optional
 import jax
 import jax.numpy as jnp
 
 from dupl_tpu.config import CrfConfig
 
 
-@functools.lru_cache(maxsize=None)
 def _use_pallas_apply() -> bool:
-    return jax.default_backend() == "tpu"
+    """Default OFF: the fused Pallas kernel-apply (ops/crf_pallas.py) wins
+    when the apply is its own dispatch (93 -> 75 ms standalone,
+    tools/crf_apply_experiment.py) but measures 4.3% SLOWER inside the fused
+    inference pipeline (26.8 vs 28.0 img/s, tools/crf_ab_pipeline.py with
+    per-arm static flags) — XLA overlaps the tile loop with surrounding work
+    the kernel serialises.  Pass ``pallas_apply=True`` to opt in."""
+    return False
 
 
 def _gaussian_kernel_2d(std: float, radius: int) -> jnp.ndarray:
@@ -95,7 +101,7 @@ def _pool(x: jax.Array, s: int) -> jax.Array:
     jax.jit,
     static_argnames=("iters", "pos_w", "pos_xy_std", "bi_w", "bi_xy_std",
                      "bi_rgb_std", "downsample", "row_chunk", "fast",
-                     "return_logits"),
+                     "return_logits", "pallas_apply"),
 )
 def mean_field_crf(
     image01: jax.Array,
@@ -111,6 +117,7 @@ def mean_field_crf(
     row_chunk: int = 56,
     fast: bool = False,
     return_logits: bool = False,
+    pallas_apply: Optional[bool] = None,
 ) -> jax.Array:
     """Mean-field inference for a batch.
 
@@ -128,6 +135,7 @@ def mean_field_crf(
     """
     b, h, w, c = probs.shape
     s = downsample
+    use_kernel = (_use_pallas_apply() if pallas_apply is None else pallas_apply)
 
     def one_image(img: jax.Array, p: jax.Array) -> jax.Array:
         feat = _features(img, bi_xy_std, bi_rgb_std)          # (H, W, 5)
@@ -153,7 +161,7 @@ def mean_field_crf(
         def cross_apply(values_small: jax.Array) -> jax.Array:
             """K_cross @ values_small, tiled over pixel rows.
             values_small: (Ns, V) -> (N, V)."""
-            if _use_pallas_apply():
+            if use_kernel:
                 # flash-style fused build+exp+contract: the fp32 score tile
                 # and bf16 kernel tile stay in VMEM (the XLA tile loop below
                 # round-trips both through HBM — the apply is bandwidth-bound)

@@ -50,6 +50,9 @@ def main():
     rng = jax.random.PRNGKey(0)
     state = trainer.init_state(rng, dev_batch["image"][:1])
     # jump the step counter into the requested phase
+    if args.phase == "seg_static" and cfg.refine_switch_iters is None:
+        ap.error("--phase seg_static requires --dataset coco "
+                 "(VOC has no static-refine phase)")
     step0 = {"warmup": 0, "seg_static": cfg.cam_iters,
              "seg": (cfg.refine_switch_iters if cfg.refine_switch_iters
                      is not None else cfg.cam_iters),

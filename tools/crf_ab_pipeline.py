@@ -28,7 +28,7 @@ from dupl_tpu.ops import crf as crf_ops
 from dupl_tpu.ops import image as image_ops
 
 
-def build_pipeline(trainer, cfg, model):
+def build_pipeline(trainer, cfg, model, pallas_apply):
     def pipeline(params, inputs, cls_label, img_box):
         def one_branch(pb):
             return cam_ops.multi_scale_cam_with_outputs(
@@ -43,7 +43,8 @@ def build_pipeline(trainer, cfg, model):
         seg = image_ops.resize_bilinear(out.seg[0], inputs.shape[1:3])
         probs = jax.nn.softmax(seg, axis=-1)
         lg = crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True,
-                                     return_logits=True)
+                                     return_logits=True,
+                                     pallas_apply=pallas_apply)
         return refined, jnp.argmax(lg, axis=-1)
     return pipeline
 
@@ -63,16 +64,14 @@ def main():
     img_box = jnp.asarray(batch["img_box"])
     params = model.init(jax.random.PRNGKey(0), inputs[:1])
 
-    pipe = build_pipeline(trainer, cfg, model)
-    # trace one jit per apply mode (the gate is read at trace time)
-    orig = crf_ops._use_pallas_apply
-    crf_ops._use_pallas_apply = lambda: False
-    jit_xla = jax.jit(pipe)
+    # distinct pipeline closures with an explicit static pallas_apply flag —
+    # monkeypatching a trace-time gate does NOT work (two jax.jit wrappers
+    # over one function object share the jaxpr cache, so the second trace
+    # reuses the first's path and the A/B compares a path against itself)
+    jit_xla = jax.jit(build_pipeline(trainer, cfg, model, pallas_apply=False))
     _ = jit_xla.lower(params, inputs, cls_label, img_box).compile()
-    crf_ops._use_pallas_apply = lambda: True
-    jit_pal = jax.jit(pipe)
+    jit_pal = jax.jit(build_pipeline(trainer, cfg, model, pallas_apply=True))
     _ = jit_pal.lower(params, inputs, cls_label, img_box).compile()
-    crf_ops._use_pallas_apply = orig
 
     def measure(fn, iters=10):
         outs = [fn(params, inputs, cls_label, img_box) for _ in range(iters)]

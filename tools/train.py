@@ -170,7 +170,8 @@ def main():
             params=install_pretrained_encoder(state.params, enc))
         log.info("loaded pretrained encoder from %s", args.pretrained)
 
-    validator = Validator(cfg, trainer.model)
+    validator = Validator(cfg, trainer.model,
+                          transfer_dtype=args.val_transfer_dtype)
     meter = AverageMeter()
     t0 = datetime.datetime.now()
 

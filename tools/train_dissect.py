@@ -80,7 +80,7 @@ from dupl_tpu.ops import gmm as gmm_ops
 from dupl_tpu.ops import losses as loss_ops2
 
 refined = ref(cams, denorm, cls_label, img_box)
-segs = jnp.zeros((2, b, 448, 448, cfg.num_classes + 1), jnp.float32)
+segs = jnp.zeros((2, b, 448, 448, cfg.num_classes), jnp.float32)
 
 @jax.jit
 def gmm_step(segs, refined):
