@@ -169,13 +169,25 @@ class SegEvaluator:
         # reference instead spools every msc logit to .npy files,
         # eval_seg_voc.py:83-84) ------------------------------------------------
         hists = {1: np.zeros((nc, nc), np.float64), 2: np.zeros((nc, nc), np.float64)}
+        native = self.input_mode == "native"
         for lo, samples, imgs in batches():
-            logits = np.asarray(fn(params, imgs), np.float32)  # (2, B, h, w, C)
-            for bi, s in enumerate(samples):
-                size = s["label"].shape
-                for k in (1, 2):
-                    up = _resize_logits_host(logits[k - 1, bi], size)
-                    add_hist(hists[k], s["label"], up.argmax(-1))
+            dev_logits = fn(params, imgs)                      # (2, B, h, w, C)
+            if native:
+                # logits are already at the label's native resolution, so the
+                # host resize is an identity — argmax on device and transfer
+                # uint8 labels (~84x less device->host traffic than f32 logits)
+                labels_b = np.asarray(
+                    jnp.argmax(dev_logits, axis=-1).astype(jnp.uint8))
+                for bi, s in enumerate(samples):
+                    for k in (1, 2):
+                        add_hist(hists[k], s["label"], labels_b[k - 1, bi])
+            else:
+                logits = np.asarray(dev_logits, np.float32)
+                for bi, s in enumerate(samples):
+                    size = s["label"].shape
+                    for k in (1, 2):
+                        up = _resize_logits_host(logits[k - 1, bi], size)
+                        add_hist(hists[k], s["label"], up.argmax(-1))
             if log and (lo // batch_size) % 10 == 0:
                 log.info("eval %d/%d", lo + len(samples), len(indices))
 
@@ -205,41 +217,48 @@ class SegEvaluator:
             pool = ThreadPoolExecutor(max(1, int(os.cpu_count() * 0.8)))
 
         for lo, samples, imgs in batches():
-            all_logits = np.asarray(fn(params, imgs), np.float32)
-            if ensemble:
-                logits = all_logits.mean(axis=0)                 # (B,h,w,C)
-            else:
-                logits = all_logits[best - 1]
+            dev_logits = fn(params, imgs)                        # (2,B,h,w,C)
             if crf == "device":
-                if self.input_mode == "native":
-                    lh, lw = logits.shape[1:3]
+                pick = (jnp.mean(dev_logits, axis=0) if ensemble
+                        else dev_logits[best - 1])               # (B,h,w,C)
+                if native:
+                    # whole chain on device; only uint8 labels leave the chip
+                    lh, lw = pick.shape[1:3]
                     ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
-                    lg = np.pad(logits, ((0, 0), (0, ph - lh), (0, pw - lw), (0, 0)),
-                                "edge")
-                    probs = jax.nn.softmax(jnp.asarray(lg), axis=-1)
-                    imgs01 = jnp.asarray(np.stack([
-                        np.pad(s["raw_image"].astype(np.float32) / 255.0,
-                               ((0, ph - lh), (0, pw - lw), (0, 0)), "edge")
-                        for s in samples
-                    ]))
+                    lg = jnp.pad(pick, ((0, 0), (0, ph - lh), (0, pw - lw),
+                                        (0, 0)), mode="edge")
+                    probs = jax.nn.softmax(lg, axis=-1)
+                    # raw images ride up as uint8 (4x less host->device)
+                    imgs01 = jnp.pad(
+                        jnp.stack([jnp.asarray(s["raw_image"]) for s in samples]
+                                  ).astype(jnp.float32) / 255.0,
+                        ((0, 0), (0, ph - lh), (0, pw - lw), (0, 0)),
+                        mode="edge")
+                    ref_m = crf_ops.crf_from_config(imgs01, probs, self.cfg.crf)
+                    preds = np.asarray(jnp.argmax(
+                        ref_m[:, :lh, :lw], axis=-1).astype(jnp.uint8))
+                    for bi, s in enumerate(samples):
+                        add_hist(crf_hist, s["label"], preds[bi])
+                        self._write_pred(out_dir, s["name"], preds[bi])
                 else:
-                    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+                    probs = jax.nn.softmax(pick, axis=-1)
                     imgs01 = jnp.stack([
                         image_ops.resize_bilinear(
-                            jnp.asarray(s["raw_image"], jnp.float32)[None] / 255.0,
-                            (base, base))[0]
+                            jnp.asarray(s["raw_image"]).astype(jnp.float32)[None]
+                            / 255.0, (base, base))[0]
                         for s in samples
                     ])
-                refined = np.asarray(
-                    crf_ops.crf_from_config(imgs01, probs, self.cfg.crf))
-                for bi, s in enumerate(samples):
-                    ref_i = refined[bi]
-                    if self.input_mode == "native":
-                        ref_i = ref_i[:logits.shape[1], :logits.shape[2]]
-                    pred = _resize_logits_host(ref_i, s["label"].shape).argmax(-1)
-                    add_hist(crf_hist, s["label"], pred)
-                    self._write_pred(out_dir, s["name"], pred)
+                    refined = np.asarray(
+                        crf_ops.crf_from_config(imgs01, probs, self.cfg.crf))
+                    for bi, s in enumerate(samples):
+                        pred = _resize_logits_host(
+                            refined[bi], s["label"].shape).argmax(-1)
+                        add_hist(crf_hist, s["label"], pred)
+                        self._write_pred(out_dir, s["name"], pred)
             else:  # native permutohedral at native res (reference-exact)
+                all_logits = np.asarray(dev_logits, np.float32)
+                logits = (all_logits.mean(axis=0) if ensemble
+                          else all_logits[best - 1])
                 def job(arg):
                     s, lg = arg
                     up = _resize_logits_host(lg, s["label"].shape)
