@@ -132,3 +132,27 @@ def test_device_crf_batched_shapes(rng):
     assert out.shape == (b, h, w, c)
     np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-4)
 
+
+
+def test_device_crf_vs_native_81class(rng):
+    """COCO-width class axis: fidelity must hold at 81 classes too (the COCO
+    inference pipeline benches this configuration; reference COCO CRF params
+    are identical to VOC's, tools/eval_seg_coco_ddp.py)."""
+    img, probs, gt = voc_scene(rng, 224, 224, n_classes=81, n_regions=20,
+                               noise=10)
+    native = DenseCRF()(img, probs).argmax(0)
+    out = crf_ops.mean_field_crf(
+        jnp.asarray(img[None], jnp.float32) / 255.0,
+        jnp.asarray(probs.transpose(1, 2, 0)[None]),
+        downsample=8, row_chunk=28,
+    )
+    device = np.asarray(out)[0].argmax(-1)
+    agree = (device == native).mean()
+    assert agree > 0.95, f"81-class device~native agreement {agree:.4f}"
+    # parity-relevant check: the device CRF's denoise gain must match the
+    # permutohedral oracle's on the same scene (absolute gain is
+    # scene-dependent at 81 classes)
+    gain_device = (device == gt).mean() - (probs.argmax(0) == gt).mean()
+    gain_native = (native == gt).mean() - (probs.argmax(0) == gt).mean()
+    assert gain_device > 0, f"CRF must improve unaries (gain {gain_device:.4f})"
+    assert gain_device > gain_native - 0.02, (gain_device, gain_native)
