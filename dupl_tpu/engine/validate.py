@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dupl_tpu.config import TrainConfig
@@ -64,11 +65,21 @@ class Validator:
     the float32 default is bit-identical to the reference protocol."""
 
     def __init__(self, cfg: TrainConfig, model: DualStudent,
-                 transfer_dtype: Optional[str] = None):
+                 transfer_dtype: Optional[str] = None,
+                 device_post: bool = True):
         self.cfg = cfg
         self.model = model
         self.transfer_dtype = transfer_dtype
+        # device_post: resize logits/CAMs to the label's native size and
+        # threshold/argmax ON DEVICE (one tiny retrace per distinct label
+        # shape, cached), transferring only uint8 label maps (~0.2 MB/image
+        # instead of ~64 MB of f32 CAMs).  The device bilinear matches torch
+        # F.interpolate (the reference's own op); the host fallback
+        # (device_post=False) goes through PIL, which differs from torch in
+        # the last float bits.  test_eval pins both paths to the same scores.
+        self.device_post = device_post
         self._fn = None
+        self._posts: Dict[tuple, object] = {}
 
     def _device_fn(self):
         if self._fn is None:
@@ -97,6 +108,33 @@ class Validator:
 
             self._fn = fn
         return self._fn
+
+    def _post_for_size(self, size):
+        """Per-native-shape device post: bilinear resize + argmax/threshold,
+        returning uint8 label maps.  jit-cached per distinct label shape."""
+        if size not in self._posts:
+            h, w = size
+            bkg = self.cfg.bkg_thre
+
+            @jax.jit
+            def post(seg_i, cams_i, cams_aux_i, cl):
+                # seg_i: (2, hs, ws, C); cams*: (2, H, W, C_fg); cl: (C_fg,)
+                seg_up = image_ops.resize_bilinear(
+                    seg_i.astype(jnp.float32), (h, w), batch_dims=1)
+                seg_lab = jnp.argmax(seg_up, axis=-1).astype(jnp.uint8)
+
+                def cam_lab(c):
+                    cu = image_ops.resize_bilinear(
+                        c.astype(jnp.float32), (h, w), batch_dims=1)
+                    valid = cu * cl[None, None, None, :]
+                    value = jnp.max(valid, axis=-1)
+                    lab = jnp.argmax(valid, axis=-1).astype(jnp.int32) + 1
+                    return jnp.where(value <= bkg, 0, lab).astype(jnp.uint8)
+
+                return seg_lab, cam_lab(cams_i), cam_lab(cams_aux_i)
+
+            self._posts[size] = post
+        return self._posts[size]
 
     def run(self, params, dataset, max_images: Optional[int] = None,
             progress_every: int = 0, log=None,
@@ -129,26 +167,43 @@ class Validator:
                 imgs += [imgs[-1]] * (batch_size - len(idxs))
             cls_b, seg_b, cams_b, cams_aux_b = fn(params, jax.numpy.stack(imgs))
             cls_b = np.asarray(cls_b)
-            seg_b = np.asarray(seg_b, np.float32)
-            cams_b = np.asarray(cams_b, np.float32)
-            cams_aux_b = np.asarray(cams_aux_b, np.float32)
 
-            for j, sample in enumerate(samples):
-                label = sample["label"]
-                size = label.shape
-                cl = sample["cls_label"]
-                for k in (0, 1):
-                    f1[str(k + 1)].append(metrics_utils.multilabel_f1(
-                        cl, (cls_b[k, j] > 0).astype(np.int32)))
-                    seg_up = _resize_logits_host(seg_b[k, j], size).argmax(-1)
-                    cam_lab = cam_label_host(
-                        _resize_logits_host(cams_b[k, j], size), cl, cfg.bkg_thre)
-                    aux_lab = cam_label_host(
-                        _resize_logits_host(cams_aux_b[k, j], size), cl,
-                        cfg.bkg_thre)
-                    add_hist(hists[f"seg_{k+1}"], label, seg_up)
-                    add_hist(hists[f"cam_{k+1}"], label, cam_lab)
-                    add_hist(hists[f"cam_aux_{k+1}"], label, aux_lab)
+            if self.device_post:
+                for j, sample in enumerate(samples):
+                    label = sample["label"]
+                    cl = sample["cls_label"]
+                    post = self._post_for_size(label.shape)
+                    seg_lab, cam_lab, aux_lab = (np.asarray(x) for x in post(
+                        seg_b[:, j], cams_b[:, j], cams_aux_b[:, j],
+                        jax.numpy.asarray(cl)))
+                    for k in (0, 1):
+                        f1[str(k + 1)].append(metrics_utils.multilabel_f1(
+                            cl, (cls_b[k, j] > 0).astype(np.int32)))
+                        add_hist(hists[f"seg_{k+1}"], label, seg_lab[k])
+                        add_hist(hists[f"cam_{k+1}"], label, cam_lab[k])
+                        add_hist(hists[f"cam_aux_{k+1}"], label, aux_lab[k])
+            else:
+                seg_b = np.asarray(seg_b, np.float32)
+                cams_b = np.asarray(cams_b, np.float32)
+                cams_aux_b = np.asarray(cams_aux_b, np.float32)
+
+                for j, sample in enumerate(samples):
+                    label = sample["label"]
+                    size = label.shape
+                    cl = sample["cls_label"]
+                    for k in (0, 1):
+                        f1[str(k + 1)].append(metrics_utils.multilabel_f1(
+                            cl, (cls_b[k, j] > 0).astype(np.int32)))
+                        seg_up = _resize_logits_host(seg_b[k, j], size).argmax(-1)
+                        cam_lab = cam_label_host(
+                            _resize_logits_host(cams_b[k, j], size), cl,
+                            cfg.bkg_thre)
+                        aux_lab = cam_label_host(
+                            _resize_logits_host(cams_aux_b[k, j], size), cl,
+                            cfg.bkg_thre)
+                        add_hist(hists[f"seg_{k+1}"], label, seg_up)
+                        add_hist(hists[f"cam_{k+1}"], label, cam_lab)
+                        add_hist(hists[f"cam_aux_{k+1}"], label, aux_lab)
 
             done = idxs[-1] + 1
             if progress_every and (done % progress_every < len(idxs)) and log:

@@ -62,6 +62,20 @@ def test_validator_runs(tiny_setup):
     assert "mIoU" in res["table"]
 
 
+def test_validator_device_post_matches_host(tiny_setup):
+    """device_post=True (on-device resize+threshold, uint8 transfer) must
+    reproduce the host-PIL path's scores; the device bilinear is the
+    torch-parity op, PIL differs only in final float bits."""
+    cfg, trainer, params = tiny_setup
+    a = Validator(cfg, trainer.model, device_post=True).run(
+        params, FakeSegDataset())
+    b = Validator(cfg, trainer.model, device_post=False).run(
+        params, FakeSegDataset())
+    for key in ("seg_1_miou", "seg_2_miou", "cam_1_miou", "cam_2_miou",
+                "cam_aux_1_miou", "cam_aux_2_miou"):
+        assert abs(a[key] - b[key]) < 2e-2, (key, a[key], b[key])
+
+
 def test_validator_bf16_transfer_same_scores(tiny_setup):
     """transfer_dtype='bfloat16' (remote-relay transfer saver) must not move
     any reported score on the tiny model: CAMs are [0, 1]-normalised, so the
