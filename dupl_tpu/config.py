@@ -250,6 +250,9 @@ def coco_config(**overrides) -> TrainConfig:
         low_thre=0.25,
         bkg_thre=0.45,
         high_thre_targets=tuple([0.55] * 80),
+        # COCO weights sim at 0.05 in every active phase
+        # (train_final_coco.py:441-448), vs 0.1 on VOC.
+        w_sim=0.05,
         class_list=COCO_CLASS_LIST,
     )
     return dataclasses.replace(base, **overrides)

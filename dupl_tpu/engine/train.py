@@ -101,6 +101,7 @@ class Trainer:
         else:
             self.cam_model = self.model
         self.tx = None
+        self.tx_warmup = None
         self._steps: Dict[str, Any] = {}
         self.high_start = jnp.full(
             (cfg.model.num_fg,), cfg.high_thre, jnp.float32
@@ -116,6 +117,11 @@ class Trainer:
     def init_state(self, rng: jax.Array, sample: jax.Array) -> TrainState:
         params = self.model.init(rng, sample)
         self.tx = make_optimizer(self.cfg.optim, params, self.cfg.max_iters)
+        # Warm-up phase: the reference's seg_loss is a graphless constant
+        # (train_final_voc.py:244), so the decoder gets NO grads and torch's
+        # AdamW skips it — no decay, no moments, no per-param step count.
+        self.tx_warmup = make_optimizer(
+            self.cfg.optim, params, self.cfg.max_iters, inactive=("decoder",))
         opt_state = self.tx.init(params)
         return TrainState(params, opt_state, jnp.int32(0), jax.random.PRNGKey(self.cfg.seed))
 
@@ -246,12 +252,13 @@ class Trainer:
         fn = jnp.sum(~pred & true)
         return 2 * tp / jnp.maximum(2 * tp + fp + fn, 1)
 
-    def _apply_updates(self, state: TrainState, grads) -> TrainState:
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+    def _apply_updates(self, state: TrainState, grads, tx=None) -> TrainState:
+        tx = tx or self.tx
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, state.rng)
 
-    def _step_warmup(self, state: TrainState, batch, weights):
+    def _grads_warmup(self, state: TrainState, batch, weights):
         """Phase 1: cls + ptc + sim (train_final_voc.py:194-258)."""
         cfg = self.cfg
         inputs, cls_label, img_box = batch["image"], batch["cls_label"], batch["img_box"]
@@ -270,9 +277,13 @@ class Trainer:
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         metrics["loss"] = total
-        return self._apply_updates(state, grads), metrics
+        return grads, metrics
 
-    def _step_seg(self, state: TrainState, batch, weights, *, static_refine: bool):
+    def _step_warmup(self, state: TrainState, batch, weights):
+        grads, metrics = self._grads_warmup(state, batch, weights)
+        return self._apply_updates(state, grads, tx=self.tx_warmup), metrics
+
+    def _grads_seg(self, state: TrainState, batch, weights, *, static_refine: bool):
         """Phase 2: + cross-supervised seg loss from PAR-refined labels
         (train_final_voc.py:260-356).  ``static_refine`` is the COCO window
         where refinement uses aux CAMs + static thresholds
@@ -311,9 +322,14 @@ class Trainer:
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         metrics["loss"] = total
+        return grads, metrics
+
+    def _step_seg(self, state: TrainState, batch, weights, *, static_refine: bool):
+        grads, metrics = self._grads_seg(state, batch, weights,
+                                         static_refine=static_refine)
         return self._apply_updates(state, grads), metrics
 
-    def _step_full(self, state: TrainState, batch, weights):
+    def _grads_full(self, state: TrainState, batch, weights):
         """Phase 3: + GMM noise filtering + strong-view consistency
         (train_final_voc.py:286-447)."""
         cfg = self.cfg
@@ -389,9 +405,32 @@ class Trainer:
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         metrics["loss"] = total
+        return grads, metrics
+
+    def _step_full(self, state: TrainState, batch, weights):
+        grads, metrics = self._grads_full(state, batch, weights)
         return self._apply_updates(state, grads), metrics
 
     # ------------------------------------------------------------------ public
+    def grad_step(self, state: TrainState, batch,
+                  step: Optional[int] = None) -> Tuple[Any, Dict]:
+        """Phase-dispatched (grads, metrics) WITHOUT applying updates.
+
+        Parity/debug hook: lets tests compare ``jax.value_and_grad`` output
+        leaf-by-leaf against the reference's ``loss.backward()``
+        (train_final_voc.py:470-472) before any optimizer state is involved."""
+        if step is None:
+            step = int(state.step)
+        w = jnp.asarray(loss_weights(self.cfg, step), jnp.float32)
+        phase = phase_of(self.cfg, step)
+        fns = {
+            "warmup": self._grads_warmup,
+            "seg_static": functools.partial(self._grads_seg, static_refine=True),
+            "seg": functools.partial(self._grads_seg, static_refine=False),
+            "full": self._grads_full,
+        }
+        return fns[phase](state, batch, w)
+
     def step_fn(self, phase: str):
         """The jitted step function for a curriculum phase."""
         if phase not in self._steps:

@@ -131,16 +131,25 @@ def shard_state(mesh: Mesh, state):
             return jax.tree.map(opt_put, subtree)
 
     import optax
+    from dupl_tpu.engine.optimizer import PhasedAdamWState
 
     def place_opt(node):
         if isinstance(node, optax.ScaleByAdamState):
             return node._replace(
                 mu=put_like_params(node.mu), nu=put_like_params(node.nu))
+        if isinstance(node, PhasedAdamWState):
+            return node._replace(
+                mu=put_like_params(node.mu), nu=put_like_params(node.nu),
+                step=jax.device_put(node.step, NamedSharding(mesh, P())),
+                count=jax.tree.map(
+                    lambda c: jax.device_put(c, NamedSharding(mesh, P())),
+                    node.count))
         return node
 
+    adamlike = (optax.ScaleByAdamState, PhasedAdamWState)
     opt_state = jax.tree.map(
         place_opt, state.opt_state,
-        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+        is_leaf=lambda n: isinstance(n, adamlike),
     )
     rep = NamedSharding(mesh, P())
     return state._replace(

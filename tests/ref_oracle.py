@@ -95,12 +95,40 @@ def load_reference():
     import model.PAR as PAR
     import utils.cam_helper as cam_helper
     import utils.evaluate as evaluate
+    import utils.optimizer as optimizer
 
     ns = types.SimpleNamespace(
         model_dupl=model_dupl, losses=losses, PAR=PAR,
-        cam_helper=cam_helper, evaluate=evaluate,
+        cam_helper=cam_helper, evaluate=evaluate, optimizer=optimizer,
     )
     return ns
+
+
+def make_poly_warmup_adamw(R, net, optim_cfg, max_iters: int):
+    """The reference optimizer exactly as the trainer builds it:
+    ``PolyWarmupAdamW`` (utils/optimizer.py:38-68) over the 4 param groups of
+    ``siamese_network.get_param_groups`` (model/model_dupl.py:119-154) with
+    heads/decoder at 10x LR (utils/train_helper.py:21-53)."""
+    groups = net.get_param_groups()
+    return R.optimizer.PolyWarmupAdamW(
+        params=[
+            {"params": groups[0], "lr": optim_cfg.lr,
+             "weight_decay": optim_cfg.weight_decay},
+            {"params": groups[1], "lr": optim_cfg.lr,
+             "weight_decay": optim_cfg.weight_decay},
+            {"params": groups[2], "lr": optim_cfg.lr * optim_cfg.head_lr_mult,
+             "weight_decay": optim_cfg.weight_decay},
+            {"params": groups[3], "lr": optim_cfg.lr * optim_cfg.head_lr_mult,
+             "weight_decay": optim_cfg.weight_decay},
+        ],
+        lr=optim_cfg.lr,
+        weight_decay=optim_cfg.weight_decay,
+        betas=tuple(optim_cfg.betas),
+        warmup_iter=optim_cfg.warmup_iters,
+        max_iter=max_iters,
+        warmup_ratio=optim_cfg.warmup_ratio,
+        power=optim_cfg.power,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -111,7 +139,7 @@ def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy().astype(np.float32)
 
 
-def convert_network_state(net) -> Dict:
+def convert_network_state(net, tensors: Dict | None = None) -> Dict:
     """Reference ``network`` (model/model_dupl.py:9) -> flax Student params.
 
     Reuses dupl_tpu.models.pretrained.convert_vit_state_dict for the encoder
@@ -119,10 +147,15 @@ def convert_network_state(net) -> Dict:
       decoder.conv{6,7}.weight  OIHW -> HWIO
       decoder.conv8.weight      (C,512,1,1) -> (1,1,512,C)
       classifier.weight         (C-1,D,1,1) -> Dense kernel (D,C-1)
+
+    ``tensors`` overrides the source dict (same keys/shapes as the state
+    dict) — used to push per-parameter *gradients* through the same layout
+    mapping as the weights.
     """
     from dupl_tpu.models.pretrained import convert_vit_state_dict
 
-    state = {k: _np(v) for k, v in net.state_dict().items()}
+    state = tensors if tensors is not None else {
+        k: _np(v) for k, v in net.state_dict().items()}
     enc = {k[len("encoder."):]: v for k, v in state.items()
            if k.startswith("encoder.")}
     depth = len(net.encoder.blocks)
@@ -139,12 +172,8 @@ def convert_network_state(net) -> Dict:
     return params
 
 
-def convert_siamese_state(siamese) -> Dict:
-    """Reference ``siamese_network`` -> branch-stacked DualStudent params."""
+def _stack_branches(p1: Dict, p2: Dict) -> Dict:
     import jax.numpy as jnp
-
-    p1 = convert_network_state(siamese.branch1)
-    p2 = convert_network_state(siamese.branch2)
 
     def stack(a, b):
         if isinstance(a, dict):
@@ -152,6 +181,32 @@ def convert_siamese_state(siamese) -> Dict:
         return jnp.stack([jnp.asarray(a), jnp.asarray(b)])
 
     return {"params": stack(p1, p2)}
+
+
+def convert_siamese_state(siamese) -> Dict:
+    """Reference ``siamese_network`` -> branch-stacked DualStudent params."""
+    return _stack_branches(convert_network_state(siamese.branch1),
+                           convert_network_state(siamese.branch2))
+
+
+def convert_siamese_grads(siamese) -> Dict:
+    """``p.grad`` of every reference parameter -> the branch-stacked pytree,
+    through the same layout mapping as the weights.  Parameters without a
+    grad (frozen ``pos_embed``, vit.py:243, or phase-unused heads under
+    DDP find_unused_parameters semantics) convert to zeros."""
+    import numpy as np
+
+    def grads_of(net):
+        out = {}
+        for k, p in net.named_parameters():
+            g = p.grad
+            out[k] = (np.zeros(tuple(p.shape), np.float32) if g is None
+                      else _np(g))
+        return out
+
+    return _stack_branches(
+        convert_network_state(siamese.branch1, grads_of(siamese.branch1)),
+        convert_network_state(siamese.branch2, grads_of(siamese.branch2)))
 
 
 def nchw(x_nhwc: np.ndarray):

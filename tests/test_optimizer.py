@@ -27,7 +27,7 @@ def test_group_labels():
         keys = [getattr(k, "key", str(k)) for k in path]
         seen[tuple(keys)] = lab
     assert any(lab == "frozen" and "pos_embed" in k for k, lab in seen.items())
-    assert all(lab == "head" for k, lab in seen.items() if "decoder" in k)
+    assert all(lab == "decoder" for k, lab in seen.items() if "decoder" in k)
     assert all(lab == "head" for k, lab in seen.items() if "classifier" in k)
     assert all(lab == "base" for k, lab in seen.items()
                if "encoder" in k and "pos_embed" not in k)

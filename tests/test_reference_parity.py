@@ -24,8 +24,12 @@ import ref_oracle
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(ref_oracle.REFERENCE_ROOT), reason="reference not present")
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(ref_oracle.REFERENCE_ROOT),
+        reason="reference not present"),
+    pytest.mark.slow,  # torch co-runs dominate suite wall time
+]
 
 
 @pytest.fixture(scope="module")
@@ -259,12 +263,22 @@ def test_loss_function_parity(R):
 # (d) full train step, all three phases
 # ---------------------------------------------------------------------------
 
-def _torch_step(R, net, batch, cfg, n_iter):
+def _torch_step(R, net, batch, cfg, n_iter, with_grad=False, optim=None):
     """The reference VOC train-step loss stack (train_final_voc.py:174-472),
     co-run on the reference's own helpers.  Strong aug is the n=0 limit
-    (pure hflip) to keep both sides deterministic."""
+    (pure hflip) to keep both sides deterministic.
+
+    ``with_grad=True`` reproduces the reference's autograd topology — the
+    pseudo-label stack stays out of the graph exactly as the reference's
+    ``torch.no_grad()`` blocks place it, the loss stack differentiates the
+    grad forward — then runs ``total.backward()`` (voc:470) and, if ``optim``
+    is given, one ``PolyWarmupAdamW.step()`` (voc:471-472).  Returns the loss
+    dict with ``grads`` (bridged to the branch-stacked pytree layout) added.
+    """
+    import contextlib
     import torch.nn.functional as F
     from sklearn.mixture import GaussianMixture
+    from dupl_tpu.engine.train import loss_weights
 
     x, cls_np, box_np = batch
     inputs = ref_oracle.nchw(x)
@@ -277,12 +291,17 @@ def _torch_step(R, net, batch, cfg, n_iter):
     ce = torch.nn.CrossEntropyLoss(ignore_index=255, reduction="none")
     scales = tuple(cfg.cam_scales)
     b = inputs.shape[0]
+    grad_ctx = contextlib.nullcontext if with_grad else torch.no_grad
 
+    # ---- pseudo-label stack: out of autograd, like the reference's no_grad
     with torch.no_grad():
         cams_1, cams_aux_1 = R.cam_helper.multi_scale_cam2_siamese(
             net, inputs=inputs, scales=scales, branch=1)
         cams_2, cams_aux_2 = R.cam_helper.multi_scale_cam2_siamese(
             net, inputs=inputs, scales=scales, branch=2)
+
+    # ---- grad forward (train_final_voc.py:437)
+    with grad_ctx():
         res = net(inputs)
         cls_1, segs_1, fmap_1, cls_aux_1 = res["branch1"]
         cls_2, segs_2, fmap_2, cls_aux_2 = res["branch2"]
@@ -292,7 +311,8 @@ def _torch_step(R, net, batch, cfg, n_iter):
                     + F.multilabel_soft_margin_loss(cls_2, cls_label)
                     + F.multilabel_soft_margin_loss(cls_aux_2, cls_label))
 
-        if n_iter < cfg.cam_iters:  # phase 1: static PTC thresholds
+    if n_iter < cfg.cam_iters:  # phase 1: static PTC thresholds
+        with torch.no_grad():
             r1 = F.interpolate(cams_aux_1, size=fmap_1.shape[2:], mode="bilinear",
                                align_corners=False)
             _, pl1 = R.cam_helper.cam_to_label(
@@ -305,11 +325,15 @@ def _torch_step(R, net, batch, cfg, n_iter):
                 r2, cls_label=cls_label, img_box=img_box, ignore_mid=True,
                 bkg_thre=cfg.bkg_thre, high_thre=cfg.high_thre,
                 low_thre=cfg.low_thre, ignore_index=255)
-            ptc = (R.losses.get_masked_ptc_loss(fmap_1, R.cam_helper.label_to_aff_mask(pl1))
-                   + R.losses.get_masked_ptc_loss(fmap_2, R.cam_helper.label_to_aff_mask(pl2)))
+            aff1 = R.cam_helper.label_to_aff_mask(pl1)
+            aff2 = R.cam_helper.label_to_aff_mask(pl2)
+        with grad_ctx():
+            ptc = (R.losses.get_masked_ptc_loss(fmap_1, aff1)
+                   + R.losses.get_masked_ptc_loss(fmap_2, aff2))
             seg = torch.zeros(())
             reg = torch.zeros(())
-        else:
+    else:
+        with torch.no_grad():
             # cosine-descending per-class thresholds (train_final_voc.py:260-276)
             t = (n_iter - cfg.cam_iters) / (cfg.max_iters - cfg.cam_iters - 1)
             hstart = torch.full((len(cfg.high_thre_targets),), cfg.high_thre)
@@ -332,8 +356,8 @@ def _torch_step(R, net, batch, cfg, n_iter):
                 r2, cls_label=cls_label, img_box=img_box, ignore_mid=True,
                 bkg_thre=cfg.bkg_thre, high_thre=high_b,
                 low_thre=cfg.low_thre, ignore_index=255)
-            ptc = (R.losses.get_masked_ptc_loss(fmap_1, R.cam_helper.label_to_aff_mask(pl1))
-                   + R.losses.get_masked_ptc_loss(fmap_2, R.cam_helper.label_to_aff_mask(pl2)))
+            aff1 = R.cam_helper.label_to_aff_mask(pl1)
+            aff2 = R.cam_helper.label_to_aff_mask(pl2)
 
             rep = cls_label[:, :, None, None].expand(-1, -1, *inputs.shape[2:])
             ref1 = R.cam_helper.refine_cams_with_dynamic_thres(
@@ -345,27 +369,32 @@ def _torch_step(R, net, batch, cfg, n_iter):
                 high_thre_map=hmask, low_thre=cfg.low_thre, ignore_index=255,
                 img_box=img_box)
 
+        with grad_ctx():
+            ptc = (R.losses.get_masked_ptc_loss(fmap_1, aff1)
+                   + R.losses.get_masked_ptc_loss(fmap_2, aff2))
             su1 = F.interpolate(segs_1, size=ref1.shape[1:], mode="bilinear",
                                 align_corners=False)
             su2 = F.interpolate(segs_2, size=ref2.shape[1:], mode="bilinear",
                                 align_corners=False)
 
-            if n_iter < cfg.gmm_iters:  # phase 2
+        if n_iter < cfg.gmm_iters:  # phase 2
+            with grad_ctx():
                 seg = (R.losses.get_seg_loss(su1, ref2.long())
                        + R.losses.get_seg_loss(su2, ref1.long()))
-                reg = torch.zeros(())
-                gmm_fired = False
-            else:  # phase 3: GMM filtering + consistency reg (voc:358-447)
-                l1 = ce(su1, ref1.long())
-                l2 = ce(su2, ref2.long())
+            reg = torch.zeros(())
+            gmm_fired = False
+        else:  # phase 3: GMM filtering + consistency reg (voc:358-447)
+            with torch.no_grad():
+                l1 = ce(su1.detach(), ref1.long())
+                l2 = ce(su2.detach(), ref2.long())
                 roi1 = (ref1 != 0) & (ref1 != 255)
                 roi2 = (ref2 != 0) & (ref2 != 255)
                 gmm_fired = False
                 for i in range(b):
                     for lm, roi, ref in ((l1, roi1, ref1), (l2, roi2, ref2)):
                         vals = lm[i][roi[i]]
-                        vals = vals[vals > 0.1]
-                        if vals.numel() > 1000:
+                        vals = vals[vals > cfg.gmm.loss_floor]
+                        if vals.numel() > cfg.gmm.min_pixels:
                             g = GaussianMixture(n_components=2, max_iter=10,
                                                 tol=1e-2, reg_covar=5e-4,
                                                 random_state=0)
@@ -380,6 +409,7 @@ def _torch_step(R, net, batch, cfg, n_iter):
                                 ).reshape(ref.shape[1:])
                                 noise = noise & (ref[i] != 0)
                                 ref[i][noise] = 255
+            with grad_ctx():
                 seg = (R.losses.get_seg_loss(su1, ref2.long())
                        + R.losses.get_seg_loss(su2, ref1.long()))
 
@@ -396,6 +426,7 @@ def _torch_step(R, net, batch, cfg, n_iter):
                 sa2 = F.interpolate(torch.flip(sa2, dims=[3]),
                                     size=inputs.shape[2:], mode="bilinear",
                                     align_corners=False)
+            with torch.no_grad():
                 ps1 = su1.detach().max(1)[1]
                 ps2 = su2.detach().max(1)[1]
                 cm1 = torch.softmax(su1.detach(), dim=1).max(1)[0]
@@ -404,12 +435,14 @@ def _torch_step(R, net, batch, cfg, n_iter):
                 un2 = (ref1 == 255) & (cm2 > cfg.reg_conf_thre)
                 ps1[~un1] = 255
                 ps2[~un2] = 255
+            with grad_ctx():
                 reg = torch.zeros(())
                 if un1.sum() > 0:
                     reg = reg + ce(sa1, ps1).sum() / un1.sum()
                 if un2.sum() > 0:
                     reg = reg + ce(sa2, ps2).sum() / un2.sum()
 
+    with grad_ctx():
         f1 = fmap_1.reshape(fmap_1.shape[0], fmap_1.shape[1], -1)
         f2 = fmap_2.reshape(fmap_2.shape[0], fmap_2.shape[1], -1)
         cos = torch.nn.CosineSimilarity(dim=-1, eps=1e-6)
@@ -419,6 +452,19 @@ def _torch_step(R, net, batch, cfg, n_iter):
            "seg_loss": float(seg), "sim_loss": float(sim), "reg_loss": float(reg)}
     if n_iter >= cfg.gmm_iters:
         out["gmm_fired"] = gmm_fired
+
+    if with_grad:
+        w = loss_weights(cfg, n_iter)
+        total = (w.cls * cls_loss + w.ptc * ptc + w.seg * seg
+                 + w.sim * sim + w.reg * reg)
+        net.zero_grad(set_to_none=True)
+        if optim is not None:
+            optim.zero_grad(set_to_none=True)
+        total.backward()
+        out["grads"] = ref_oracle.convert_siamese_grads(net)
+        out["total"] = float(total)
+        if optim is not None:
+            optim.step()
     return out
 
 
@@ -454,6 +500,515 @@ def test_train_step_loss_parity(R, step):
             tol = 0.05 * max(1.0, abs(ref_v))  # sklearn vs masked-EM noise masks
         assert abs(ref_v - jax_v) <= tol, (
             f"step {step} {key}: torch {ref_v:.6f} vs jax {jax_v:.6f}")
+
+
+# ---------------------------------------------------------------------------
+# (d2) gradient- and update-level parity (VERDICT r2 item 1)
+# ---------------------------------------------------------------------------
+
+def _grad_cfg(phase_step):
+    """Tiny VOC recipe for autograd co-runs.  GMM is pinned OFF via an
+    unreachable ``min_pixels`` (both sides gate on it) so phase-3 gradients
+    are compared on identical noise masks — sklearn-vs-EM mask parity is
+    covered separately by test_train_step_loss_parity.  LR/warmup are scaled
+    so updates are large enough to measure (both optimizers start their
+    schedule at count 0, so LRs agree step-for-step)."""
+    from dupl_tpu.config import GmmConfig, ModelConfig, OptimConfig, voc_config
+
+    return voc_config(
+        model=ModelConfig(backbone=TINY_JAX, compute_dtype="float32"),
+        optim=OptimConfig(lr=1e-3, warmup_iters=2, warmup_ratio=0.1),
+        gmm=GmmConfig(min_pixels=10**9),
+        aug_n=0,
+        cam_iters=2000, gmm_iters=8000, max_iters=20000,
+    )
+
+
+def _flat_with_paths(tree):
+    import jax.tree_util as jtu
+    leaves = jtu.tree_flatten_with_path(tree)[0]
+    return {jtu.keystr(p): np.asarray(v) for p, v in leaves}
+
+
+def _assert_tree_close(jtree, ttree, rel, skip=(), what=""):
+    """Leaf-by-leaf: |j - t| <= rel * max|t| per leaf (global-scale floor for
+    all-zero leaves such as phase-gated heads)."""
+    jf, tf = _flat_with_paths(jtree), _flat_with_paths(ttree)
+    assert jf.keys() == tf.keys()
+    gscale = max(np.abs(t).max() for t in tf.values())
+    for k in sorted(jf):
+        if any(s in k for s in skip):
+            continue
+        scale = max(np.abs(tf[k]).max(), 1e-3 * gscale)
+        np.testing.assert_allclose(
+            jf[k], tf[k], atol=rel * scale, rtol=0,
+            err_msg=f"{what} leaf {k} (scale {scale:.3e})")
+
+
+@pytest.mark.parametrize("step", [100, 3000, 9000])
+def test_gradient_parity(R, step):
+    """jax.value_and_grad through the full phase loss stack vs the reference's
+    ``loss.backward()`` (train_final_voc.py:470) on identical weights+batch:
+    every parameter's gradient, leaf-by-leaf.  Catches wrong vjps (PTC Gram,
+    fg/bg-balanced seg CE, stop-gradient placements, the strong-aug branch)
+    that are invisible to loss-value comparison."""
+    from dupl_tpu.engine.train import Trainer, TrainState, loss_weights
+
+    net, model, params = make_pair(R, seed=11)
+    cfg = _grad_cfg(step)
+    batch_np = rand_batch(b=2, size=64, seed=12)
+
+    t_out = _torch_step(R, net, batch_np, cfg, n_iter=step, with_grad=True)
+
+    trainer = Trainer(cfg, model=model)
+    x, cls, box = batch_np
+    jbatch = {"image": jnp.asarray(x), "cls_label": jnp.asarray(cls),
+              "img_box": jnp.asarray(box)}
+    state = trainer.init_state(jax.random.PRNGKey(0), jbatch["image"][:1])
+    state = TrainState(params, state.opt_state, jnp.int32(step), state.rng)
+    grads, metrics = trainer.grad_step(state, jbatch, step=step)
+
+    # anchor: the weighted totals agree
+    w = loss_weights(cfg, step)
+    j_total = float(w.cls * metrics["cls_loss"] + w.ptc * metrics["ptc_loss"]
+                    + w.seg * metrics["seg_loss"] + w.sim * metrics["sim_loss"]
+                    + w.reg * metrics["reg_loss"])
+    assert abs(j_total - t_out["total"]) <= 2e-3 * max(1.0, abs(t_out["total"]))
+
+    # pos_embed is frozen in torch (requires_grad=False -> zeros through the
+    # bridge) but receives a (discarded-by-multiplier-0) gradient in optax
+    _assert_tree_close(grads, t_out["grads"], rel=5e-3,
+                       skip=("pos_embed",), what=f"grad step={step}")
+
+
+@pytest.mark.parametrize("step", [100, 3000, 9000])
+def test_update_parity(R, step):
+    """Three consecutive optimizer updates per phase: PolyWarmupAdamW
+    (utils/optimizer.py:51-68, 4 groups, 10x head LR, train_helper.py:21-53)
+    vs the optax chain, driven by IDENTICAL (bridged torch) gradients each
+    step so the update *rule* — schedule, group multipliers, decoupled decay,
+    per-param bias correction, and the skip-params-without-grads semantics
+    (decoder during warm-up) — is isolated from fp32 gradient noise.
+    Gradient agreement itself is test_gradient_parity's job."""
+    import optax
+    from dupl_tpu.engine.train import Trainer, TrainState, phase_of
+
+    net, model, params0 = make_pair(R, seed=13)
+    cfg = _grad_cfg(step)
+    optim = ref_oracle.make_poly_warmup_adamw(R, net, cfg.optim, cfg.max_iters)
+
+    trainer = Trainer(cfg, model=model)
+    x0 = rand_batch(b=2, size=64, seed=20)[0]
+    trainer.init_state(jax.random.PRNGKey(0), jnp.asarray(x0)[:1])
+    params = params0
+    opt_state = trainer.tx.init(params)
+    p_init = _flat_with_paths(params0)
+
+    for k in range(3):
+        batch_np = rand_batch(b=2, size=64, seed=30 + k)
+        t_out = _torch_step(R, net, batch_np, cfg, n_iter=step + k,
+                            with_grad=True, optim=optim)
+
+        tx = (trainer.tx_warmup if phase_of(cfg, step + k) == "warmup"
+              else trainer.tx)
+        updates, opt_state = tx.update(t_out["grads"], opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        t_params = _flat_with_paths(ref_oracle.convert_siamese_state(net))
+        j_params = _flat_with_paths(params)
+        gscale = max(np.abs(t_params[key] - p_init[key]).max()
+                     for key in t_params)
+        assert gscale > 0, "updates vanished — test is vacuous"
+        for key in sorted(j_params):
+            dj = j_params[key] - p_init[key]
+            dt = t_params[key] - p_init[key]
+            # torch computes sqrt(nu)/sqrt(bc2), optax sqrt(nu/bc2): few-ulp
+            # rounding differences; anything semantic (group, decay, bias
+            # correction, schedule) moves updates by >=1% of scale
+            scale = max(np.abs(dt).max(), 1e-3 * gscale)
+            np.testing.assert_allclose(
+                dj, dt, atol=5e-3 * scale, rtol=0,
+                err_msg=f"update {k + 1} @ step {step + k} leaf {key} "
+                        f"(update scale {scale:.3e})")
+
+
+# ---------------------------------------------------------------------------
+# (d3) 20-step co-training trajectory (VERDICT r2 item 2)
+# ---------------------------------------------------------------------------
+
+def test_cotraining_trajectory(R):
+    """Both sides actually TRAIN for 20 steps from identical weights on
+    identical batches — torch ``loss.backward(); PolyWarmupAdamW.step()``
+    (train_final_voc.py:470-472) vs the jitted phase steps + optax — across
+    all three phase boundaries (warmup 0-4, seg 5-11, full 12-19).  The loss
+    curves must track within 1e-2 relative at every step, and the final
+    param deltas must agree at the norm level.
+
+    GMM is pinned OFF via min_pixels (both sides honor it): sklearn-EM vs
+    masked-EM noise masks are only approximately equal, and a single
+    flipped ignore-pixel would contaminate the deterministic comparison —
+    GMM numeric parity is covered by test_train_step_loss_parity[9000].
+    Strong aug is the n=0 (pure hflip) limit on both sides."""
+    import optax
+    from dupl_tpu.config import GmmConfig, ModelConfig, OptimConfig, voc_config
+    from dupl_tpu.engine.train import Trainer, TrainState, loss_weights
+
+    net, model, params0 = make_pair(R, seed=17)
+    cfg = voc_config(
+        model=ModelConfig(backbone=TINY_JAX, compute_dtype="float32"),
+        optim=OptimConfig(lr=1e-4, warmup_iters=3, warmup_ratio=0.1),
+        gmm=GmmConfig(min_pixels=10**9),
+        aug_n=0,
+        cam_iters=5, gmm_iters=12, max_iters=20,
+    )
+    optim = ref_oracle.make_poly_warmup_adamw(R, net, cfg.optim, cfg.max_iters)
+
+    trainer = Trainer(cfg, model=model)
+    x0 = rand_batch(b=2, size=64, seed=100)[0]
+    state = trainer.init_state(jax.random.PRNGKey(0), jnp.asarray(x0)[:1])
+    # host snapshot first: the jitted steps donate the state, deleting the
+    # original param buffers after step 1
+    p_init = _flat_with_paths(params0)
+    params_dev = jax.tree.map(jnp.array, params0)
+    state = TrainState(params_dev, trainer.tx.init(params_dev), jnp.int32(0),
+                       state.rng)
+
+    keys = ("cls_loss", "ptc_loss", "seg_loss", "sim_loss", "reg_loss")
+    max_rel = 0.0
+    for k in range(cfg.max_iters):
+        batch_np = rand_batch(b=2, size=64, seed=100 + k)
+        t_out = _torch_step(R, net, batch_np, cfg, n_iter=k,
+                            with_grad=True, optim=optim)
+        x, cls, box = batch_np
+        jbatch = {"image": jnp.asarray(x), "cls_label": jnp.asarray(cls),
+                  "img_box": jnp.asarray(box)}
+        state, metrics = trainer.train_step(state, jbatch, step=k)
+
+        w = loss_weights(cfg, k)
+        j_total = float(w.cls * metrics["cls_loss"] + w.ptc * metrics["ptc_loss"]
+                        + w.seg * metrics["seg_loss"] + w.sim * metrics["sim_loss"]
+                        + w.reg * metrics["reg_loss"])
+        rel = abs(j_total - t_out["total"]) / max(1.0, abs(t_out["total"]))
+        max_rel = max(max_rel, rel)
+        assert rel < 1e-2, (
+            f"step {k}: total torch {t_out['total']:.6f} vs jax "
+            f"{j_total:.6f} (rel {rel:.2e})")
+        for key in keys:
+            relk = abs(float(metrics[key]) - t_out[key]) / max(
+                1.0, abs(t_out[key]))
+            assert relk < 1e-2, (
+                f"step {k} {key}: torch {t_out[key]:.6f} vs jax "
+                f"{float(metrics[key]):.6f}")
+
+    # final params: 20 steps of independently-computed fp32 grads accumulate
+    # noise that Adam AMPLIFIES early on (update ~ g/sqrt(nu): with nu built
+    # from 1-20 samples, a small relative grad difference moves the
+    # normalised update much more) — measured ~13% on the worst leaf
+    # (encoder norm.bias) with all 20 loss values tracking <1e-2.  The 0.2
+    # bound is still sharply discriminative: any *semantic* divergence
+    # (wrong group multiplier = 10x, decay, schedule, bias correction)
+    # shifts deltas by >=100%.
+    tp = _flat_with_paths(ref_oracle.convert_siamese_state(net))
+    jp = _flat_with_paths(state.params)
+    gscale = max(np.linalg.norm(tp[key] - p_init[key]) for key in tp)
+    for key in sorted(jp):
+        dj = jp[key] - p_init[key]
+        dt = tp[key] - p_init[key]
+        nref = max(np.linalg.norm(dt), 1e-3 * gscale)
+        nerr = np.linalg.norm(dj - dt)
+        assert nerr <= 0.2 * nref, (
+            f"final params leaf {key}: |Δjax-Δtorch| {nerr:.3e} vs "
+            f"0.2*|Δtorch| {nref:.3e}")
+
+
+# ---------------------------------------------------------------------------
+# (d4) COCO train step, all four phases (VERDICT r2 item 6)
+# ---------------------------------------------------------------------------
+
+def _torch_step_coco(R, net, batch, cfg, n_iter, with_grad=False):
+    """The reference COCO train-step loss stack (train_final_coco.py:174-448)
+    co-run on the reference's own helpers: 81 classes, the 8k-12k
+    ``seg_static`` window (aux-CAM + refine_cams_with_bkg_v2, :312-321),
+    ``cam_to_label_dynamic_cls`` PTC thresholds, the aux->main refine switch
+    at 12k, GMM + consistency from ``gmm_iters``.
+
+    The 8k-12k "negative-offset cosine" (:240-242, ``n_iter - 12000`` < 0):
+    ``cosine_descent`` CLAMPS negative steps to ``max_thres``
+    (utils/train_helper.py:341-342), so the window's per-sample dynamic
+    threshold is uniformly ``high_thre`` — semantically identical to a static
+    threshold, which is exactly how the repo's ``seg_static`` phase computes
+    it.  Strong aug is the n=0 (pure hflip) limit."""
+    import contextlib
+    import torch.nn.functional as F
+    from sklearn.mixture import GaussianMixture
+    from dupl_tpu.engine.train import loss_weights
+
+    x, cls_np, box_np = batch
+    inputs = ref_oracle.nchw(x)
+    cls_label = torch.tensor(cls_np)
+    img_box = torch.tensor(box_np)
+    par = R.PAR.PAR(dilations=list(cfg.par.dilations), num_iter=cfg.par.num_iter)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=255, reduction="none")
+    scales = tuple(cfg.cam_scales)
+    b = inputs.shape[0]
+    grad_ctx = contextlib.nullcontext if with_grad else torch.no_grad
+    switch = cfg.refine_switch_iters
+
+    if n_iter < cfg.cam_iters:  # warm-up: cls (+ sim, weight 0) only (:190-236)
+        with grad_ctx():
+            res = net(inputs)
+            cls_1, segs_1, fmap_1, cls_aux_1 = res["branch1"]
+            cls_2, segs_2, fmap_2, cls_aux_2 = res["branch2"]
+            cls_loss = (F.multilabel_soft_margin_loss(cls_1, cls_label)
+                        + F.multilabel_soft_margin_loss(cls_aux_1, cls_label)
+                        + F.multilabel_soft_margin_loss(cls_2, cls_label)
+                        + F.multilabel_soft_margin_loss(cls_aux_2, cls_label))
+            ptc = torch.ones(())   # placeholders, weight 0 (:216-221)
+            seg = torch.ones(())
+            reg = torch.zeros(())
+    else:
+        with torch.no_grad():
+            # clamped cosine thresholds from the 12k switch (:240-252)
+            hstart = torch.full((len(cfg.high_thre_targets),), cfg.high_thre)
+            htarget = torch.tensor(cfg.high_thre_targets)
+            hthres = torch.tensor(np.asarray(R_cosine(
+                hstart.numpy(), htarget.numpy(), n_iter - switch,
+                cfg.max_iters - switch), np.float32))
+            high_b = torch.stack([
+                torch.max(hthres[torch.nonzero(cls_label[i]).squeeze(-1)])
+                for i in range(b)])
+            hmask = high_b[:, None, None, None] * torch.ones(
+                (b, 1, *inputs.shape[2:]))
+
+            cams_1, cams_aux_1 = R.cam_helper.multi_scale_cam2_siamese(
+                net, inputs=inputs, scales=scales, branch=1)
+            cams_2, cams_aux_2 = R.cam_helper.multi_scale_cam2_siamese(
+                net, inputs=inputs, scales=scales, branch=2)
+
+        with grad_ctx():
+            res = net(inputs)
+            cls_1, segs_1, fmap_1, cls_aux_1 = res["branch1"]
+            cls_2, segs_2, fmap_2, cls_aux_2 = res["branch2"]
+            cls_loss = (F.multilabel_soft_margin_loss(cls_1, cls_label)
+                        + F.multilabel_soft_margin_loss(cls_aux_1, cls_label)
+                        + F.multilabel_soft_margin_loss(cls_2, cls_label)
+                        + F.multilabel_soft_margin_loss(cls_aux_2, cls_label))
+
+        with torch.no_grad():
+            # PTC: dynamic-cls thresholds on aux CAMs (:287-307)
+            r1 = F.interpolate(cams_aux_1, size=fmap_1.shape[2:],
+                               mode="bilinear", align_corners=False)
+            _, pl1 = R.cam_helper.cam_to_label_dynamic_cls(
+                r1.detach(), cls_label=cls_label, img_box=img_box,
+                ignore_mid=True, bkg_thre=cfg.bkg_thre, high_thre=high_b,
+                low_thre=cfg.low_thre, ignore_index=255)
+            r2 = F.interpolate(cams_aux_2, size=fmap_2.shape[2:],
+                               mode="bilinear", align_corners=False)
+            _, pl2 = R.cam_helper.cam_to_label_dynamic_cls(
+                r2.detach(), cls_label=cls_label, img_box=img_box,
+                ignore_mid=True, bkg_thre=cfg.bkg_thre, high_thre=high_b,
+                low_thre=cfg.low_thre, ignore_index=255)
+            aff1 = R.cam_helper.label_to_aff_mask(pl1)
+            aff2 = R.cam_helper.label_to_aff_mask(pl2)
+
+            # refinement: aux CAM + static thresholds before the switch,
+            # main CAM + dynamic mask after (:309-333)
+            rep = cls_label[:, :, None, None].expand(-1, -1, *inputs.shape[2:])
+            mean = torch.tensor([0.485, 0.456, 0.406])[None, :, None, None]
+            std = torch.tensor([0.229, 0.224, 0.225])[None, :, None, None]
+            inputs_denorm = inputs * std + mean
+            if n_iter <= switch:
+                ref1 = R.cam_helper.refine_cams_with_bkg_v2(
+                    par, inputs_denorm, cams=cams_aux_1 * rep,
+                    cls_labels=cls_label, high_thre=cfg.high_thre,
+                    low_thre=cfg.low_thre, ignore_index=255, img_box=img_box)
+                ref2 = R.cam_helper.refine_cams_with_bkg_v2(
+                    par, inputs_denorm, cams=cams_aux_2 * rep,
+                    cls_labels=cls_label, high_thre=cfg.high_thre,
+                    low_thre=cfg.low_thre, ignore_index=255, img_box=img_box)
+            else:
+                ref1 = R.cam_helper.refine_cams_with_dynamic_thres(
+                    par, inputs_denorm, cams=cams_1 * rep, cls_labels=cls_label,
+                    high_thre_map=hmask, low_thre=cfg.low_thre,
+                    ignore_index=255, img_box=img_box)
+                ref2 = R.cam_helper.refine_cams_with_dynamic_thres(
+                    par, inputs_denorm, cams=cams_2 * rep, cls_labels=cls_label,
+                    high_thre_map=hmask, low_thre=cfg.low_thre,
+                    ignore_index=255, img_box=img_box)
+
+        with grad_ctx():
+            ptc = (R.losses.get_masked_ptc_loss(fmap_1, aff1)
+                   + R.losses.get_masked_ptc_loss(fmap_2, aff2))
+            su1 = F.interpolate(segs_1, size=ref1.shape[1:], mode="bilinear",
+                                align_corners=False)
+            su2 = F.interpolate(segs_2, size=ref2.shape[1:], mode="bilinear",
+                                align_corners=False)
+
+        if n_iter < cfg.gmm_iters:  # direct cross supervision (:339-346)
+            with grad_ctx():
+                seg = (R.losses.get_seg_loss(su1, ref2.long())
+                       + R.losses.get_seg_loss(su2, ref1.long()))
+            reg = torch.zeros(())
+        else:  # GMM filtering + consistency (:348-432)
+            with torch.no_grad():
+                l1 = ce(su1.detach(), ref1.long())
+                l2 = ce(su2.detach(), ref2.long())
+                roi1 = (ref1 != 0) & (ref1 != 255)
+                roi2 = (ref2 != 0) & (ref2 != 255)
+                for i in range(b):
+                    for lm, roi, ref in ((l1, roi1, ref1), (l2, roi2, ref2)):
+                        vals = lm[i][roi[i]]
+                        vals = vals[vals > cfg.gmm.loss_floor]
+                        if vals.numel() > cfg.gmm.min_pixels:
+                            g = GaussianMixture(n_components=2, max_iter=10,
+                                                tol=1e-2, reg_covar=5e-4,
+                                                random_state=0)
+                            g.fit(vals[:, None].numpy())
+                            if abs(g.means_[0, 0] - g.means_[1, 0]) > cfg.gmm.valid_thre:
+                                ni = g.means_.argmax()
+                                prob = g.predict_proba(
+                                    lm[i].reshape(-1, 1).numpy())
+                                noise = torch.tensor(
+                                    prob[:, ni] > cfg.gmm.gamma
+                                ).reshape(ref.shape[1:])
+                                noise = noise & (ref[i] != 0)
+                                ref[i][noise] = 255
+            with grad_ctx():
+                seg = (R.losses.get_seg_loss(su1, ref2.long())
+                       + R.losses.get_seg_loss(su2, ref1.long()))
+                # strong view = hflip at 0.75 scale through need_sp
+                x_aug = torch.flip(inputs, dims=[3])
+                x_aug = F.interpolate(x_aug, scale_factor=cfg.aug_downscale,
+                                      mode="bilinear", align_corners=False)
+                _, sa1, _, _ = net.branch1(x_aug)
+                _, sa2, _, _ = net.branch2(x_aug)
+                sa1 = F.interpolate(torch.flip(sa1, dims=[3]),
+                                    size=inputs.shape[2:], mode="bilinear",
+                                    align_corners=False)
+                sa2 = F.interpolate(torch.flip(sa2, dims=[3]),
+                                    size=inputs.shape[2:], mode="bilinear",
+                                    align_corners=False)
+            with torch.no_grad():
+                ps1 = su1.detach().max(1)[1]
+                ps2 = su2.detach().max(1)[1]
+                cm1 = torch.softmax(su1.detach(), dim=1).max(1)[0]
+                cm2 = torch.softmax(su2.detach(), dim=1).max(1)[0]
+                un1 = (ref2 == 255) & (cm1 > cfg.reg_conf_thre)
+                un2 = (ref1 == 255) & (cm2 > cfg.reg_conf_thre)
+                ps1[~un1] = 255
+                ps2[~un2] = 255
+            with grad_ctx():
+                reg = torch.zeros(())
+                if un1.sum() > 0:
+                    reg = reg + ce(sa1, ps1).sum() / un1.sum()
+                if un2.sum() > 0:
+                    reg = reg + ce(sa2, ps2).sum() / un2.sum()
+
+    with grad_ctx():
+        f1 = fmap_1.reshape(fmap_1.shape[0], fmap_1.shape[1], -1)
+        f2 = fmap_2.reshape(fmap_2.shape[0], fmap_2.shape[1], -1)
+        cos = torch.nn.CosineSimilarity(dim=-1, eps=1e-6)
+        sim = (1 + cos(f1.detach(), f2).mean()) + (1 + cos(f2.detach(), f1).mean())
+
+    out = {"cls_loss": float(cls_loss), "ptc_loss": float(ptc),
+           "seg_loss": float(seg), "sim_loss": float(sim),
+           "reg_loss": float(reg)}
+    if with_grad:
+        w = loss_weights(cfg, n_iter)
+        total = (w.cls * cls_loss + w.ptc * ptc + w.seg * seg
+                 + w.sim * sim + w.reg * reg)
+        net.zero_grad(set_to_none=True)
+        total.backward()
+        out["grads"] = ref_oracle.convert_siamese_grads(net)
+        out["total"] = float(total)
+    return out
+
+
+def R_cosine(start, target, step, num_steps):
+    """The reference's host cosine_descent (utils/train_helper.py:340-349)
+    incl. the negative-step clamp."""
+    if step < 0:
+        return start
+    if step >= num_steps:
+        return target
+    t = step / (num_steps - 1)
+    return start + (target - start) * (1 - np.cos(np.pi * t)) / 2
+
+
+def _coco_cfg():
+    from dupl_tpu.config import ModelConfig, coco_config
+
+    return coco_config(
+        model=ModelConfig(backbone=TINY_JAX, num_classes=81, aux_layer=9,
+                          compute_dtype="float32"),
+        aug_n=0,  # strong aug degenerates to hflip — deterministic co-run
+    )
+
+
+@pytest.mark.parametrize("step", [100, 9000, 20000, 40000])
+def test_coco_train_step_loss_parity(R, step):
+    """One full COCO train step per curriculum phase — warm-up (<8k),
+    seg_static (8k-12k aux-CAM window), seg (12k-32k dynamic), full (GMM +
+    consistency) — every loss term matches train_final_coco.py:174-448 on
+    identical weights + batch at 81 classes, aux_layer=9 (:148)."""
+    from dupl_tpu.engine.train import Trainer, TrainState
+
+    net, model, params = make_pair(R, num_classes=81, aux_layer=9, seed=21)
+    cfg = _coco_cfg()
+    batch_np = rand_batch(b=2, size=64, num_fg=80, seed=22)
+
+    t_losses = _torch_step_coco(R, net, batch_np, cfg, n_iter=step)
+
+    trainer = Trainer(cfg, model=model)
+    x, cls, box = batch_np
+    jbatch = {"image": jnp.asarray(x), "cls_label": jnp.asarray(cls),
+              "img_box": jnp.asarray(box)}
+    state = trainer.init_state(jax.random.PRNGKey(0), jbatch["image"][:1])
+    state = TrainState(params, state.opt_state, jnp.int32(step), state.rng)
+    _, metrics = trainer.train_step(state, jbatch)
+
+    for key in ("cls_loss", "ptc_loss", "seg_loss", "sim_loss", "reg_loss"):
+        if step < cfg.cam_iters and key in ("ptc_loss", "seg_loss"):
+            continue  # reference warm-up placeholders (torch.ones, :216-221)
+        ref_v, jax_v = t_losses[key], float(metrics[key])
+        tol = 2e-3 * max(1.0, abs(ref_v))
+        if key in ("seg_loss", "reg_loss") and step >= cfg.gmm_iters:
+            tol = 0.05 * max(1.0, abs(ref_v))  # sklearn vs masked-EM
+        assert abs(ref_v - jax_v) <= tol, (
+            f"step {step} {key}: torch {ref_v:.6f} vs jax {jax_v:.6f}")
+
+
+def test_coco_gradient_parity_seg_static(R):
+    """Gradient-level parity through the COCO-unique seg_static path (aux-CAM
+    refinement + dynamic-cls PTC with clamped thresholds) — the one compute
+    branch the VOC gradient co-run never exercises."""
+    from dupl_tpu.config import GmmConfig
+    import dataclasses
+    from dupl_tpu.engine.train import Trainer, TrainState, loss_weights
+
+    step = 9000
+    net, model, params = make_pair(R, num_classes=81, aux_layer=9, seed=23)
+    cfg = dataclasses.replace(_coco_cfg(), gmm=GmmConfig(min_pixels=10**9))
+    batch_np = rand_batch(b=2, size=64, num_fg=80, seed=24)
+
+    t_out = _torch_step_coco(R, net, batch_np, cfg, n_iter=step,
+                             with_grad=True)
+
+    trainer = Trainer(cfg, model=model)
+    x, cls, box = batch_np
+    jbatch = {"image": jnp.asarray(x), "cls_label": jnp.asarray(cls),
+              "img_box": jnp.asarray(box)}
+    state = trainer.init_state(jax.random.PRNGKey(0), jbatch["image"][:1])
+    state = TrainState(params, state.opt_state, jnp.int32(step), state.rng)
+    grads, metrics = trainer.grad_step(state, jbatch, step=step)
+
+    w = loss_weights(cfg, step)
+    j_total = float(w.cls * metrics["cls_loss"] + w.ptc * metrics["ptc_loss"]
+                    + w.seg * metrics["seg_loss"] + w.sim * metrics["sim_loss"]
+                    + w.reg * metrics["reg_loss"])
+    assert abs(j_total - t_out["total"]) <= 2e-3 * max(1.0, abs(t_out["total"]))
+    _assert_tree_close(grads, t_out["grads"], rel=5e-3,
+                       skip=("pos_embed",), what="coco seg_static grad")
 
 
 # ---------------------------------------------------------------------------

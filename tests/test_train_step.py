@@ -55,6 +55,33 @@ def test_coco_phase_table():
     assert loss_weights(cfg, 9000).ptc == 0.0
 
 
+def test_loss_weights_match_reference_tables():
+    """Digit-for-digit parity with the reference's literal loss mixes:
+    VOC train_final_voc.py:451-456, COCO train_final_coco.py:441-448.
+    Steps are sampled strictly inside each phase (the documented 1-step
+    ``<`` vs ``<=`` boundary shift is out of scope here, see PARITY.md)."""
+    from dupl_tpu.config import coco_config
+    voc = voc_config()
+    # (step, cls, ptc, seg, sim, reg)
+    voc_table = [
+        (100,   1.0, 0.2, 0.0, 0.1, 0.0),    # n_iter <= cam_iters (2000)
+        (5000,  1.0, 0.2, 0.2, 0.1, 0.0),    # <= gmm_iters (8000)
+        (15000, 1.0, 0.2, 0.2, 0.1, 0.05),   # else
+    ]
+    for step, *w in voc_table:
+        assert loss_weights(voc, step) == tuple(w), f"VOC step {step}"
+
+    coco = coco_config()
+    coco_table = [
+        (100,   1.0, 0.0, 0.0, 0.0,  0.0),   # n_iter <= 8000
+        (10000, 1.0, 0.0, 0.2, 0.05, 0.0),   # <= 12000
+        (20000, 1.0, 0.2, 0.2, 0.05, 0.05),  # <= gmm_iters (32000)
+        (50000, 1.0, 0.2, 0.2, 0.05, 0.05),  # else
+    ]
+    for step, *w in coco_table:
+        assert loss_weights(coco, step) == tuple(w), f"COCO step {step}"
+
+
 def test_all_phases_run_and_update(tiny_trainer):
     cfg, trainer, state, batch = tiny_trainer
     # host copies: the step functions donate the input state's buffers
