@@ -29,18 +29,39 @@ def collate(samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
     return out
 
 
+class _WorkerError:
+    """Poison pill carrying a worker exception to the consuming thread."""
+
+    def __init__(self, exc: BaseException, where: str):
+        self.exc = exc
+        self.where = where
+
+
 class PrefetchLoader:
     """Infinite shuffled batch stream with worker threads.
 
     Per-epoch reshuffle with a fresh seed mirrors the reference's random
     ``set_epoch`` reseed on loader exhaustion (train_final_voc.py:179-184).
     Deterministic given ``seed``: sample augmentation randomness is derived
-    from (seed, epoch, index).
+    from (seed, epoch, index), and batches are released strictly in index-
+    stream order regardless of worker completion order, so the k-th batch is
+    a pure function of ``(seed, k)``.
+
+    ``start_step`` fast-forwards the index stream by ``start_step`` batches
+    without decoding anything — because batch k is a pure function of
+    (seed, k), a resumed run (``--resume`` restoring step n, loader built
+    with ``start_step=n``) sees exactly the batches an uninterrupted run
+    would have.  The reference's torch DataLoader has no such path (a killed
+    run re-reads epoch 0 order).
+
+    Worker exceptions (corrupt JPEG, missing file, ...) propagate: the next
+    ``__next__`` on the consumer re-raises them, like torch's DataLoader.
     """
 
     def __init__(self, dataset, batch_size: int, *, seed: int = 0,
                  num_workers: int = 8, prefetch: int = 4, shard: int = 0,
-                 num_shards: int = 1, shuffle: bool = True, drop_last: bool = True):
+                 num_shards: int = 1, shuffle: bool = True, drop_last: bool = True,
+                 start_step: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -50,40 +71,77 @@ class PrefetchLoader:
         self.num_shards = num_shards
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.start_step = start_step
         self._stop = threading.Event()
         self._batches: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._threads: List[threading.Thread] = []
+        self._started = False
+        self._error: Optional[_WorkerError] = None
+        self._lock = threading.Lock()
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            order = np.random.RandomState(self.seed + epoch).permutation(len(order))
+        order = order[self.shard::self.num_shards]
+        if self.drop_last:
+            order = order[: (len(order) // self.batch_size) * self.batch_size]
+        return order
 
     def _index_stream(self) -> Iterator[tuple]:
         epoch = 0
-        n = len(self.dataset)
+        skip = self.start_step * self.batch_size
         while not self._stop.is_set():
-            order = np.arange(n)
-            if self.shuffle:
-                order = np.random.RandomState(self.seed + epoch).permutation(n)
-            order = order[self.shard::self.num_shards]
-            limit = (len(order) // self.batch_size) * self.batch_size if self.drop_last else len(order)
-            for i in order[:limit]:
-                yield int(i), epoch
+            order = self._epoch_order(epoch)
+            if skip >= len(order):
+                skip -= len(order)
+            else:
+                for i in order[skip:]:
+                    yield int(i), epoch
+                skip = 0
             epoch += 1
 
     def _producer(self):
         sample_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
+        # completed buckets, released to the consumer strictly in sequence
+        done: Dict[int, Dict] = {}
+        done_lock = threading.Lock()
+        next_seq = [0]
+
+        def fail(exc: BaseException, where: str):
+            err = _WorkerError(exc, where)
+            self._error = err  # checked on every consumer dequeue
+            self._stop.set()
+            try:  # also wake a consumer blocked on an empty queue
+                self._batches.put_nowait(err)
+            except queue.Full:
+                pass
 
         def worker():
             while not self._stop.is_set():
                 item = sample_q.get()
                 if item is None:
                     return
-                slot, idx, epoch, bucket, lock, counter = item
-                sample = self.dataset.__getitem__(
-                    idx, seed=hash((self.seed, epoch, idx)) & 0x7FFFFFFF
-                )
+                seq, slot, idx, epoch, bucket, lock, counter = item
+                try:
+                    sample = self.dataset.__getitem__(
+                        idx, seed=hash((self.seed, epoch, idx)) & 0x7FFFFFFF
+                    )
+                except BaseException as e:  # noqa: BLE001 — must reach consumer
+                    fail(e, f"dataset[{idx}] (epoch {epoch})")
+                    return
                 with lock:
                     bucket[slot] = sample
                     counter[0] += 1
-                    if counter[0] == self.batch_size:
-                        self._batches.put(collate(bucket))
+                    complete = counter[0] == self.batch_size
+                if not complete:
+                    continue
+                batch = collate(bucket)
+                with done_lock:
+                    done[seq] = batch
+                    while next_seq[0] in done:
+                        self._batches.put(done.pop(next_seq[0]))
+                        next_seq[0] += 1
 
         for _ in range(self.num_workers):
             t = threading.Thread(target=worker, daemon=True)
@@ -92,24 +150,47 @@ class PrefetchLoader:
 
         stream = self._index_stream()
         try:
+            seq = 0
             while not self._stop.is_set():
                 bucket: List[Optional[Dict]] = [None] * self.batch_size
                 lock = threading.Lock()
                 counter = [0]
                 for slot in range(self.batch_size):
                     idx, epoch = next(stream)
-                    sample_q.put((slot, idx, epoch, bucket, lock, counter))
+                    sample_q.put((seq, slot, idx, epoch, bucket, lock, counter))
+                seq += 1
+        except BaseException as e:  # noqa: BLE001
+            if not self._stop.is_set():
+                fail(e, "index stream")
         finally:
             for _ in self._threads:
                 sample_q.put(None)
 
     def __iter__(self):
+        with self._lock:
+            if self._started:
+                raise RuntimeError(
+                    "PrefetchLoader is single-use: a second __iter__ would "
+                    "interleave two producers over one batch queue; build a "
+                    "second loader (with start_step) instead")
+            self._started = True
         threading.Thread(target=self._producer, daemon=True).start()
-        while not self._stop.is_set():
-            yield self._batches.get()
+        while True:
+            item = self._batches.get()
+            err = self._error if not isinstance(item, _WorkerError) else item
+            if err is not None:
+                raise RuntimeError(
+                    f"PrefetchLoader worker failed at {err.where}") from err.exc
+            if self._stop.is_set():
+                return
+            yield item
 
     def stop(self):
         self._stop.set()
+        try:  # wake a consumer blocked on an empty queue
+            self._batches.put_nowait({})
+        except queue.Full:
+            pass
 
 
 def synthetic_batch(batch: int, crop: int = 448, num_fg: int = 20,
@@ -124,7 +205,12 @@ def synthetic_batch(batch: int, crop: int = 448, num_fg: int = 20,
     mean = np.asarray((0.485, 0.456, 0.406), np.float32)
     std = np.asarray((0.229, 0.224, 0.225), np.float32)
     image = (image01 - mean) / std
-    cls_label = (rs.rand(batch, num_fg) > 0.85).astype(np.float32)
+    # Count-matched label density: ~3 expected present classes regardless of
+    # the class-list width (bit-identical to the historical p=0.15 draw for
+    # num_fg=20).  A fixed per-class p would give 81-class batches ~12 present
+    # classes/image — far denser than real COCO (~3) — and permanently trip
+    # the PAR class_budget fallback the real workload almost never takes.
+    cls_label = (rs.rand(batch, num_fg) > 1.0 - 3.0 / num_fg).astype(np.float32)
     cls_label[np.arange(batch), rs.randint(0, num_fg, batch)] = 1
     img_box = np.tile(np.asarray([[16, crop - 16, 8, crop - 8]], np.int32), (batch, 1))
     return {"image": image, "cls_label": cls_label, "img_box": img_box}

@@ -152,9 +152,6 @@ def main():
 
     proc_idx = jax.process_index() if args.multihost else 0
     n_proc = jax.process_count() if args.multihost else 1
-    loader = PrefetchLoader(train_ds, global_batch // n_proc, seed=cfg.seed,
-                            num_workers=args.num_workers,
-                            shard=proc_idx, num_shards=n_proc)
 
     # model/state --------------------------------------------------------
     trainer = Trainer(cfg)
@@ -169,6 +166,14 @@ def main():
         state = state._replace(
             params=install_pretrained_encoder(state.params, enc))
         log.info("loaded pretrained encoder from %s", args.pretrained)
+
+    # loader is built AFTER restore so a resumed run fast-forwards the
+    # deterministic index stream to the restored step: batch order is a pure
+    # function of (seed, step), so the resumed trajectory is order-exact
+    loader = PrefetchLoader(train_ds, global_batch // n_proc, seed=cfg.seed,
+                            num_workers=args.num_workers,
+                            shard=proc_idx, num_shards=n_proc,
+                            start_step=int(state.step))
 
     validator = Validator(cfg, trainer.model,
                           transfer_dtype=args.val_transfer_dtype)
