@@ -64,14 +64,56 @@ def convert_vit_state_dict(state: Mapping[str, "np.ndarray"], depth: int) -> Dic
     return p
 
 
+def normalize_vit_state_dict(
+        state: Mapping[str, "np.ndarray"]) -> Dict[str, np.ndarray]:
+    """Normalise the torch state-dict layout variants the reference accepts
+    into the canonical DeiT naming that :func:`convert_vit_state_dict` maps.
+
+    Handled variants (the reference reaches these through timm's
+    ``load_pretrained`` in model/backbone/vit.py:1093-1100 for the
+    ImageNet-21k ``vit_base_patch16_224`` path, README.md:142):
+
+    * ``module.`` / ``backbone.`` / ``encoder.`` prefixes stripped;
+    * classifier heads dropped (``head.*``, ``head_dist.*``) — 21k heads
+      have 21843 rows and are unused;
+    * ``pre_logits.*`` dropped (present in in21k checkpoints only;
+      timm's plain ViT discards it for feature extraction);
+    * 2-D ``patch_embed.proj.weight`` (patchify + linear layout of the
+      original jx_/augreg checkpoints) reshaped to conv OIHW, the
+      reference's ``_conv_filter`` (model/backbone/vit.py:1058-1065);
+    * ``dist_token`` dropped (distilled DeiT variants; the plain backbone
+      the trainer uses has none).
+    """
+    drop = ("head.", "head_dist.", "pre_logits.", "dist_token")
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        for pfx in ("module.", "backbone.", "encoder."):
+            if k.startswith(pfx):
+                k = k[len(pfx):]
+        if k.startswith(drop):
+            continue
+        v = np.asarray(v)
+        if k == "patch_embed.proj.weight" and v.ndim == 2:
+            ps = int(round((v.shape[1] // 3) ** 0.5))  # (D, 3*P*P) rows
+            v = v.reshape(v.shape[0], 3, ps, ps)
+        out[k] = v
+    return out
+
+
 def load_deit_checkpoint(path: str, depth: int = 12) -> Dict:
-    """Load a DeiT ``.pth`` file (expects the usual ``{"model": state_dict}``
-    wrapping) and convert to flax encoder params."""
+    """Load a DeiT/ViT ``.pth`` file and convert to flax encoder params.
+
+    Accepts the ``{"model": state_dict}`` wrapping of DeiT releases
+    (model/backbone/deit.py:103-108), the ``{"state_dict": ...}`` wrapping
+    of timm/mmcls exports, or a bare state dict; layout differences between
+    the DeiT-1k and ImageNet-21k checkpoints are normalised by
+    :func:`normalize_vit_state_dict`."""
     import torch  # local import: torch is cpu-only tooling here
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    state = ckpt.get("model", ckpt)
-    state = {k: v.numpy() for k, v in state.items() if not k.startswith(("head", "head_dist"))}
+    state = ckpt.get("model", ckpt.get("state_dict", ckpt)) if isinstance(ckpt, dict) else ckpt
+    state = normalize_vit_state_dict(
+        {k: v.numpy() for k, v in state.items()})
     return convert_vit_state_dict(state, depth)
 
 
