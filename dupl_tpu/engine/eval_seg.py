@@ -68,33 +68,51 @@ def msc_seg_logits(seg_fn, x: jax.Array, out_size, scales: Sequence[float],
 class SegEvaluator:
     def __init__(self, cfg: TrainConfig, model: DualStudent,
                  scales: Sequence[float] = (1.0, 1.5, 1.25),
-                 merge: str = "max", input_mode: str = "fixed"):
+                 merge: str = "max", input_mode: str = "fixed",
+                 merge_at: str = "input"):
         """``input_mode``: 'fixed' resizes every image to the crop size (one
         compile, batched — the reference's COCO eval); 'native' feeds each
         image at its original resolution like the reference's VOC eval
-        (eval_seg_voc.py:56-60) — one compile per distinct shape, cached."""
+        (eval_seg_voc.py:56-60) — one compile per distinct shape, cached.
+
+        ``merge_at``: 'input' merges scales at the model-input resolution
+        (the reference VOC protocol, whose label-native input makes this the
+        label resolution); 'decoder' merges at the scale-1.0 decoder
+        resolution, exactly the reference COCO protocol
+        (eval_seg_coco_ddp.py:93-121: other scales' segs are resized DOWN to
+        the scale-1.0 seg size before the sum, and only the merged map is
+        resized to the label) — and an 16x16-fold smaller device->host
+        transfer."""
         self.cfg = cfg
         self.model = model
         self.scales = tuple(scales)
         self.merge = merge
         self.input_mode = input_mode
+        if input_mode == "native" and merge_at == "decoder":
+            raise ValueError("merge_at='decoder' applies to fixed-input mode")
+        self.merge_at = merge_at
         self._msc_fn = None
         self._crf_fn = None
 
     def _device_msc(self):
         if self._msc_fn is None:
+            patch = self.model.cfg.patch_size
+
             @jax.jit
             def fn(params, x):
-                # output resolution = input resolution; under 'native' mode jax
-                # retraces (and caches) per distinct image shape.  The branch
-                # axis rides through msc_seg_logits as a leading axis (seg:
-                # (2, 2B, h, w, C)) so both students share each scale's
+                # output resolution = input resolution (or the scale-1.0
+                # decoder grid under merge_at='decoder'); under 'native' mode
+                # jax retraces (and caches) per distinct image shape.  The
+                # branch axis rides through msc_seg_logits as a leading axis
+                # (seg: (2, 2B, h, w, C)) so both students share each scale's
                 # forward dispatch.
                 hh, ww = x.shape[1:3]
+                out = ((hh // patch, ww // patch)
+                       if self.merge_at == "decoder" else (hh, ww))
                 return msc_seg_logits(
                     lambda both: self.model.apply(params, both).seg,
-                    x, (hh, ww), self.scales, self.merge, batch_dims=2,
-                )  # (2, B, hh, ww, C)
+                    x, out, self.scales, self.merge, batch_dims=2,
+                )  # (2, B, *out, C)
 
             self._msc_fn = fn
         return self._msc_fn
@@ -192,7 +210,9 @@ class SegEvaluator:
                 log.info("eval %d/%d", lo + len(samples), len(indices))
 
         scores = {k: metrics_utils.scores_from_hist(hists[k]) for k in (1, 2)}
-        best = 1 if scores[1]["miou"] >= scores[2]["miou"] else 2
+        # reference tie-break: branch1 only if STRICTLY better
+        # (eval_seg_voc.py:185-188, eval_seg_coco_ddp.py:251-254)
+        best = 1 if scores[1]["miou"] > scores[2]["miou"] else 2
         result: Dict[str, object] = {
             "seg_score_1": scores[1], "seg_score_2": scores[2], "branch": best,
         }
@@ -241,6 +261,9 @@ class SegEvaluator:
                         add_hist(crf_hist, s["label"], preds[bi])
                         self._write_pred(out_dir, s["name"], preds[bi])
                 else:
+                    if self.merge_at == "decoder":  # CRF wants image res
+                        pick = image_ops.resize_bilinear(
+                            pick, (base, base))
                     probs = jax.nn.softmax(pick, axis=-1)
                     imgs01 = jnp.stack([
                         image_ops.resize_bilinear(

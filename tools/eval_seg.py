@@ -42,6 +42,9 @@ def main():
                    help="strided dataset shard (reference DDP eval split, "
                         "eval_seg_coco_ddp.py:240-242)")
     p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--backbone", default=None,
+                   help="override backbone (e.g. test_tiny_patch16 for smoke)")
+    p.add_argument("--crop-size", type=int, default=None)
     args = p.parse_args()
 
     from dupl_tpu.config import voc_config, coco_config
@@ -52,8 +55,14 @@ def main():
     from dupl_tpu.utils.metrics import format_score_table
     import jax.numpy as jnp
 
+    import dataclasses as dc
+
     log = setup_logger()
     cfg = voc_config() if args.dataset == "voc" else coco_config()
+    if args.backbone:
+        cfg = dc.replace(cfg, model=dc.replace(cfg.model, backbone=args.backbone))
+    if args.crop_size:
+        cfg = dc.replace(cfg, data=dc.replace(cfg.data, crop_size=args.crop_size))
     list_folder = args.list_folder or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "datasets", args.dataset)
@@ -66,6 +75,7 @@ def main():
                            num_classes=cfg.num_classes)
         scales = tuple(args.scales or (1.0, 1.5, 1.25))
         merge = "max"  # eval_seg_voc.py:76-77
+        merge_at = "input"
     else:
         from dupl_tpu.data.coco import CocoSegDataset
         ds = CocoSegDataset(args.data_folder, list_folder,
@@ -74,6 +84,7 @@ def main():
                             label_folder=args.label_folder)
         scales = tuple(args.scales or (1.0, 1.25, 1.5))
         merge = "sum"  # eval_seg_coco_ddp.py:120-121
+        merge_at = "decoder"  # COCO merges at the scale-1.0 seg grid (:93-121)
 
     trainer = Trainer(cfg)
     sample = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3), jnp.float32)
@@ -81,7 +92,8 @@ def main():
     params = ckpt.load_weights(args.weights, template)
 
     ev = SegEvaluator(cfg, trainer.model, scales=scales, merge=merge,
-                      input_mode=args.input_mode)
+                      input_mode=args.input_mode,
+                      merge_at="input" if args.input_mode == "native" else merge_at)
     res = ev.run(params, ds, batch_size=args.batch_size, crf=args.crf,
                  out_dir=args.out_dir, max_images=args.max_images, log=log,
                  shard=args.shard, num_shards=args.num_shards,

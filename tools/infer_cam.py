@@ -33,6 +33,9 @@ def main():
     p.add_argument("--out-dir", default="cam_out")
     p.add_argument("--branch", type=int, default=1, choices=[1, 2])
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--backbone", default=None,
+                   help="override backbone (e.g. test_tiny_patch16 for smoke)")
+    p.add_argument("--crop-size", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -48,7 +51,12 @@ def main():
     from dupl_tpu.ops import image as image_ops
     from dupl_tpu.utils.metrics import scores_from_hist
 
+    import dataclasses as dc
     cfg = voc_config()
+    if args.backbone:
+        cfg = dc.replace(cfg, model=dc.replace(cfg.model, backbone=args.backbone))
+    if args.crop_size:
+        cfg = dc.replace(cfg, data=dc.replace(cfg.data, crop_size=args.crop_size))
     list_folder = args.list_folder or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "datasets", "voc")
     ds = VocSegDataset(args.data_folder, list_folder, args.infer_set,
