@@ -25,6 +25,39 @@ def sanitize_tpu_env(env=None) -> None:
         env.pop("TPU_WORKER_HOSTNAMES", None)
 
 
+def _machine_key() -> str:
+    """Fingerprint of the host CPU's ISA features.
+
+    XLA:CPU AOT artifacts are compiled for the build machine's feature set;
+    reusing them on a host with different features emits "could lead to
+    SIGILL" warnings (and can actually SIGILL).  Keying the cache directory
+    on the flags line of /proc/cpuinfo keeps each machine's artifacts
+    separate while still sharing across runs on the same machine."""
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    got_model = got_flags = False
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # model name too: XLA derives uarch tuning preferences
+                # (prefer-no-scatter/-gather) from the CPU model, not just
+                # its feature flags — two machines with identical flags can
+                # still produce incompatible AOT artifacts
+                if not got_model and line.startswith("model name"):
+                    feats += " " + line.split(":", 1)[1].strip()
+                    got_model = True
+                elif not got_flags and line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    got_flags = True
+                if got_model and got_flags:
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     sanitize_tpu_env()
     import jax
@@ -34,6 +67,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache"),
     )
+    path = os.path.join(path, _machine_key())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
