@@ -1,0 +1,71 @@
+"""Generate a synthetic VOC2012-structured tree for dry-run pipelines.
+
+Layout mirrors what the real dataset provides (reference README.md:33-50):
+``JPEGImages/``, ``SegmentationClassAug/``, name lists and
+``cls_labels_onehot.npy``.  Images are colored blobs whose masks are the
+ground truth, so training/eval produce meaningful (if tiny) numbers.
+
+Usage: python tools/make_fake_voc.py --out /tmp/fake_voc [--n 16 --size 96]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def make_tree(out: str, n: int = 16, size: int = 96, num_fg: int = 20,
+              seed: int = 0) -> None:
+    img_dir = os.path.join(out, "JPEGImages")
+    seg_dir = os.path.join(out, "SegmentationClassAug")
+    lists = os.path.join(out, "lists")
+    for d in (img_dir, seg_dir, lists):
+        os.makedirs(d, exist_ok=True)
+
+    rs = np.random.RandomState(seed)
+    names, labels = [], {}
+    for i in range(n):
+        name = f"2007_{i:06d}"
+        h = w = size
+        img = np.full((h, w, 3), rs.randint(0, 255, 3), np.uint8)
+        mask = np.zeros((h, w), np.uint8)
+        for _ in range(3):
+            cls = rs.randint(1, num_fg + 1)
+            y0, x0 = rs.randint(0, h // 2), rs.randint(0, w // 2)
+            y1 = y0 + rs.randint(h // 4, h // 2)
+            x1 = x0 + rs.randint(w // 4, w // 2)
+            img[y0:y1, x0:x1] = rs.randint(0, 255, 3)
+            mask[y0:y1, x0:x1] = cls
+        img = np.clip(img.astype(np.int16) + rs.randint(-6, 6, img.shape),
+                      0, 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(img_dir, name + ".jpg"))
+        Image.fromarray(mask).save(os.path.join(seg_dir, name + ".png"))
+        onehot = np.zeros(num_fg, np.uint8)
+        present = np.unique(mask)
+        onehot[present[present > 0] - 1] = 1
+        labels[name] = onehot
+        names.append(name)
+
+    for split in ("train_aug", "train", "val", "test"):
+        with open(os.path.join(lists, split + ".txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    np.save(os.path.join(lists, "cls_labels_onehot.npy"), labels,
+            allow_pickle=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=16)
+    p.add_argument("--size", type=int, default=96)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    make_tree(args.out, n=args.n, size=args.size, seed=args.seed)
+    print(f"fake VOC tree at {args.out} ({args.n} images, {args.size}px)")
+
+
+if __name__ == "__main__":
+    main()
