@@ -283,3 +283,40 @@ def crf_from_config(image01, probs, cfg: CrfConfig, **kw):
         pos_xy_std=cfg.pos_xy_std, bi_w=cfg.bi_w, bi_xy_std=cfg.bi_xy_std,
         bi_rgb_std=cfg.bi_rgb_std, **kw,
     )
+
+
+def crf_labels_from_config(image01, probs, cfg: CrfConfig,
+                           class_budget: Optional[int] = None, **kw):
+    """CRF -> argmax labels, optionally with the class axis compacted to a
+    per-image budget (the wide-class-axis throughput lever; VOC runs 21
+    classes but COCO runs 81 and the fast CRF costs ~1 ms/class/batch-16 of
+    pure full-resolution HBM traffic).
+
+    Compaction picks each image's ``class_budget`` most plausible classes by
+    total spatial probability mass (lax.top_k over the per-class sum) and
+    runs mean-field on those slots only — equivalent to conditioning the CRF
+    on "the label is one of the image's K dominant classes".  Mass, not max:
+    mean-field with a long-range bilateral kernel is itself a mass vote, so
+    a class with a few high-probability noise pixels (which max would keep)
+    never survives it, while a class with broad support always does —
+    fidelity bounded in
+    tests/test_crf_fast.py::test_class_budget_label_fidelity.  Slot indices
+    map back to class ids with a one-hot matmul (per-pixel dynamic gathers
+    lower to per-element slices on TPU; the (B, K, C) selection matrix rides
+    the MXU — same trick as the PAR class compaction, ops/cam.py).
+    """
+    b, h, w, c = probs.shape
+    if class_budget is None or class_budget >= c:
+        lg = crf_from_config(image01, probs, cfg, return_logits=True, **kw)
+        return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+    k = class_budget
+    score = jnp.sum(probs, axis=(1, 2))                      # (B, C)
+    _, idx = jax.lax.top_k(score, k)                         # (B, k)
+    sel = jax.nn.one_hot(idx, c, dtype=probs.dtype)          # (B, k, C)
+    compact = jnp.einsum("bhwc,bkc->bhwk", probs, sel)
+    lg = crf_from_config(image01, compact, cfg, return_logits=True, **kw)
+    slot = jnp.argmax(lg, axis=-1)                           # (B, H, W)
+    onehot = jax.nn.one_hot(slot, k, dtype=jnp.float32)
+    ids = jnp.einsum("bhwk,bk->bhw", onehot, idx.astype(jnp.float32))
+    return ids.astype(jnp.int32)

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="opt-in dynamic-int8 GEMMs (ModelConfig.quantized_inference)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dataset", choices=["voc", "coco"], default="voc",
+                    help="coco = 81 classes + class_budget 16 (the COCO "
+                         "inference shapes of BENCHMARKS.md)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +47,7 @@ def main():
 
     from dupl_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from dupl_tpu.config import voc_config, ModelConfig, ParConfig
+    from dupl_tpu.config import voc_config, coco_config, ModelConfig, ParConfig
     from dupl_tpu.data.pipeline import synthetic_batch
     from dupl_tpu.engine.train import Trainer
     from dupl_tpu.models.network import Student
@@ -53,16 +56,20 @@ def main():
     from dupl_tpu.ops import image as image_ops
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
-    cfg = voc_config(model=ModelConfig(backbone="deit_base_patch16",
-                                       gelu_approximate=True,
-                                       stream_dtype="bfloat16",
-                                       quantized_inference=args.int8),
-                     par=ParConfig(compute_dtype="bfloat16", class_budget=10))
+    mk = voc_config if args.dataset == "voc" else coco_config
+    nc = 21 if args.dataset == "voc" else 81
+    budget = 10 if args.dataset == "voc" else 16
+    cfg = mk(model=ModelConfig(backbone="deit_base_patch16",
+                               num_classes=nc,
+                               gelu_approximate=True,
+                               stream_dtype="bfloat16",
+                               quantized_inference=args.int8),
+             par=ParConfig(compute_dtype="bfloat16", class_budget=budget))
     trainer = Trainer(cfg)
     model = trainer.model
 
     b = args.batch
-    batch = synthetic_batch(b, crop=448)
+    batch = synthetic_batch(b, crop=448, num_fg=nc - 1)
     inputs = jnp.asarray(batch["image"])
     cls_label = jnp.asarray(batch["cls_label"])
     img_box = jnp.asarray(batch["img_box"])
@@ -122,19 +129,23 @@ def main():
     from dupl_tpu.ops import par as par_ops
     from dupl_tpu.ops.par_pallas import propagate_pallas
     hs = 448 // cfg.par.down_scale
-    img_small = jnp.zeros((2 * b, hs, hs, 3), jnp.float32)
-    masks42 = jnp.zeros((2 * b, hs, hs, 2 * cfg.num_classes), jnp.float32)
+    # the real refine path: ONE PAR call at batch b, both branches folded
+    # into the class axis, classes compacted to the budget (2 views x 2
+    # passes x budget slots)
+    ch = 4 * cfg.par.class_budget
+    img_small = jnp.zeros((b, hs, hs, 3), jnp.float32)
+    masks42 = jnp.zeros((b, hs, hs, ch), jnp.float32)
 
     aff_fn = jax.jit(lambda im: par_ops.rgb_affinity(im, tuple(cfg.par.dilations),
                                                      cfg.par.w1, cfg.par.w2))
     dt = timeit(aff_fn, img_small, iters=args.iters)
-    print(f"  par affinity ({2*b},{hs},{hs}): {dt*1e3:.1f} ms")
+    print(f"  par affinity ({b},{hs},{hs}): {dt*1e3:.1f} ms")
     aff = aff_fn(img_small)
     prop_fn = jax.jit(lambda m, a: propagate_pallas(
         m, a, tuple(cfg.par.dilations), cfg.par.num_iter,
         compute_dtype=cfg.par.compute_dtype))
     dt = timeit(prop_fn, masks42, aff, iters=args.iters)
-    print(f"  par propagate ({2*b},{hs},{hs},{2*cfg.num_classes}) x10: {dt*1e3:.1f} ms")
+    print(f"  par propagate ({b},{hs},{hs},{ch}) x10: {dt*1e3:.1f} ms")
 
     # --- seg resize + CRF (fast mode)
     @jax.jit
@@ -163,34 +174,10 @@ def main():
                                   high_thre=cfg.high_thre)
         seg = image_ops.resize_bilinear(out.seg[0], inputs.shape[1:3])
         probs = jax.nn.softmax(seg, axis=-1)
-        marg = crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True,
-                                       return_logits=True)
-        return refined, jnp.argmax(marg, axis=-1)
-
-    # --- the offline eval protocol (eval_seg_voc parity path): 3 scales x
-    # flip seg logits, max-merge, both branches, device CRF -> labels
-    from dupl_tpu.engine.eval_seg import msc_seg_logits
-
-    @jax.jit
-    def eval_protocol(params, inputs):
-        def seg_fn_b(pb):
-            def seg_fn(x):
-                return model.module.apply(pb, x, method=Student.forward_with_cams)[0].seg
-            return seg_fn
-        out_size = inputs.shape[1:3]
-        segs = jax.vmap(
-            lambda pb: msc_seg_logits(seg_fn_b(pb), inputs, out_size,
-                                      (1.0, 1.5, 1.25), merge="max"))(params)
-        denorm = image_ops.denormalize(inputs)
-        probs = jax.nn.softmax(segs[0], axis=-1)
-        lg = crf_ops.crf_from_config(denorm, probs, cfg.crf, fast=True,
-                                     return_logits=True)
-        return segs, jnp.argmax(lg, axis=-1)
-
-    dt = timeit(eval_protocol, params, inputs, iters=args.iters)
-    report["eval_protocol"] = dt
-    print(f"eval protocol (3 scales x flip x 2 branches + CRF): {dt*1e3:.1f} ms "
-          f"-> {b/dt:.2f} img/s")
+        labels = crf_ops.crf_labels_from_config(
+            denorm, probs, cfg.crf, fast=True,
+            class_budget=32 if nc > 32 else None)
+        return refined, labels
 
     dt = timeit(pipeline, params, inputs, cls_label, img_box, iters=args.iters)
     report["pipeline"] = dt
@@ -200,6 +187,42 @@ def main():
                 + report["crf_fast"])
     print(f"(component sum {comp_sum*1e3:.1f} ms; fusion/dispatch delta "
           f"{(dt-comp_sum)*1e3:+.1f} ms)")
+
+    # --- the offline eval protocol: 3 scales x flip seg logits, merged
+    # max-at-input-res (VOC, eval_seg_voc.py:76-77) or sum-at-decoder-grid
+    # (COCO, eval_seg_coco_ddp.py:93-121 — 16x16-fold smaller merge buffers),
+    # both branches, device CRF -> labels
+    from dupl_tpu.engine.eval_seg import msc_seg_logits
+
+    ev_merge = "max" if args.dataset == "voc" else "sum"
+    ev_scales = (1.0, 1.5, 1.25) if args.dataset == "voc" else (1.0, 1.25, 1.5)
+    ev_out = (inputs.shape[1:3] if args.dataset == "voc"
+              else (inputs.shape[1] // 16, inputs.shape[2] // 16))
+
+    @jax.jit
+    def eval_protocol(params, inputs):
+        def seg_fn_b(pb):
+            def seg_fn(x):
+                return model.module.apply(pb, x, method=Student.forward_with_cams)[0].seg
+            return seg_fn
+        segs = jax.vmap(
+            lambda pb: msc_seg_logits(seg_fn_b(pb), inputs, ev_out,
+                                      ev_scales, merge=ev_merge))(params)
+        denorm = image_ops.denormalize(inputs)
+        pick = segs[0]
+        if pick.shape[1:3] != inputs.shape[1:3]:  # decoder-grid merge -> CRF res
+            pick = image_ops.resize_bilinear(pick, inputs.shape[1:3])
+        probs = jax.nn.softmax(pick, axis=-1)
+        labels = crf_ops.crf_labels_from_config(
+            denorm, probs, cfg.crf, fast=True,
+            class_budget=32 if nc > 32 else None)
+        return segs, labels
+
+    dt = timeit(eval_protocol, params, inputs, iters=args.iters)
+    report["eval_protocol"] = dt
+    print(f"eval protocol (3 scales x flip x 2 branches + CRF): {dt*1e3:.1f} ms "
+          f"-> {b/dt:.2f} img/s")
+
 
 
 if __name__ == "__main__":
