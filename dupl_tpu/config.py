@@ -181,6 +181,15 @@ class TrainConfig:
 
     seed: int = 0
     samples_per_device: int = 2
+    # The reference recipe's GLOBAL batch (VOC: 2/GPU x 2 GPUs = 4,
+    # README.md:87; COCO: 2/GPU x 4 GPUs = 8, README.md:97).  Optimization
+    # dynamics follow the global batch, not the per-device one, so the
+    # production entry point (tools/train.py) derives
+    # ``samples_per_device = max(1, global_batch // n_data_devices)`` from
+    # this unless ``--samples-per-device`` is given explicitly; library users
+    # who construct their own loops from ``samples_per_device`` are
+    # unaffected (``None`` disables the derivation).
+    global_batch: Optional[int] = 4
     max_iters: int = 20000
     log_iters: int = 200
     eval_iters: int = 2000
@@ -246,6 +255,7 @@ def coco_config(**overrides) -> TrainConfig:
         gmm_iters=32000,
         refine_switch_iters=12000,
         samples_per_device=2,
+        global_batch=8,
         high_thre=0.65,
         low_thre=0.25,
         bkg_thre=0.45,
@@ -256,3 +266,23 @@ def coco_config(**overrides) -> TrainConfig:
         class_list=COCO_CLASS_LIST,
     )
     return dataclasses.replace(base, **overrides)
+
+
+def resolve_samples_per_device(cfg: TrainConfig, n_data: int):
+    """Derive ``samples_per_device`` from the recipe's global batch.
+
+    The reference's optimization recipe is defined by its GLOBAL batch
+    (VOC 4 / COCO 8 — README.md:87,97); per-device batch is an artifact of
+    the rig.  Returns ``(cfg, warning_or_None)`` with ``samples_per_device``
+    set to ``max(1, global_batch // n_data)``; a warning string is returned
+    when the mesh cannot hit the recipe's global batch exactly.  No-op when
+    ``cfg.global_batch`` is None.
+    """
+    if cfg.global_batch is None:
+        return cfg, None
+    spd = max(1, cfg.global_batch // n_data)
+    warn = None
+    if spd * n_data != cfg.global_batch:
+        warn = (f"global_batch {cfg.global_batch} not divisible by {n_data} "
+                f"data devices; training at global batch {spd * n_data}")
+    return dataclasses.replace(cfg, samples_per_device=spd), warn

@@ -188,3 +188,25 @@ def test_cam_merge_downscale_agreement(tiny_trainer):
     assert full.shape == small.shape  # labels always at input resolution
     agree = jnp.mean((full == small).astype(jnp.float32))
     assert float(agree) > 0.95
+
+
+def test_recipe_global_batch_derivation():
+    """The recipe is defined by its GLOBAL batch (VOC 4 / COCO 8 —
+    reference README.md:87,97: 2/GPU x 2 or 4 GPUs); tools/train.py derives
+    the per-device batch from the mesh via resolve_samples_per_device so a
+    1-chip run and a v5e-4 run train the same optimization recipe."""
+    from dupl_tpu.config import coco_config, resolve_samples_per_device
+
+    voc = voc_config()
+    assert voc.global_batch == 4
+    assert coco_config().global_batch == 8
+    for n_data, want in ((1, 4), (2, 2), (4, 1)):
+        got, warn = resolve_samples_per_device(voc, n_data)
+        assert got.samples_per_device == want and warn is None
+    # mesh larger than the recipe batch: floor at 1/device, warn
+    got, warn = resolve_samples_per_device(voc, 8)
+    assert got.samples_per_device == 1 and "8" in warn
+    # explicit library configs opt out with global_batch=None
+    got, warn = resolve_samples_per_device(
+        dataclasses.replace(voc, global_batch=None), 1)
+    assert got.samples_per_device == voc.samples_per_device and warn is None

@@ -147,6 +147,14 @@ def main():
 
     mesh = make_mesh(n_model=args.model_parallel)
     n_data = mesh.shape["data"]
+    if args.samples_per_device is None:
+        # Pin the reference recipe's GLOBAL batch (config.py:global_batch):
+        # per-device batch adapts to the mesh so 1 chip and a v5e-4 train
+        # the same recipe.
+        from dupl_tpu.config import resolve_samples_per_device
+        cfg, warn = resolve_samples_per_device(cfg, n_data)
+        if warn:
+            log.warning("%s", warn)
     global_batch = cfg.samples_per_device * n_data
     log.info("mesh %s; global batch %d", dict(mesh.shape), global_batch)
 
