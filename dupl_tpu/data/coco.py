@@ -60,7 +60,8 @@ class CocoClsDataset(CocoDatasetBase):
                  crop_size: int = 448, rescale_range: Tuple[float, float] = (0.5, 2.0),
                  img_fliplr: bool = True, num_classes: int = 81,
                  ignore_index: int = 255, aug: bool = True,
-                 label_folder: Optional[str] = None):
+                 label_folder: Optional[str] = None,
+                 transfer_dtype: str = "float32"):
         super().__init__(root_dir, name_list_dir, split, label_folder)
         self.crop_size = crop_size
         self.rescale_range = rescale_range
@@ -68,6 +69,7 @@ class CocoClsDataset(CocoDatasetBase):
         self.num_classes = num_classes
         self.ignore_index = ignore_index
         self.aug = aug
+        self.transfer_dtype = transfer_dtype
         try:
             self.label_list = load_cls_labels(name_list_dir)
         except FileNotFoundError:
@@ -88,6 +90,7 @@ class CocoClsDataset(CocoDatasetBase):
             image, img_box = transforms.train_transform(
                 image, self.crop_size, self.rescale_range, rng,
                 fliplr=self.img_fliplr, ignore_index=self.ignore_index,
+                transfer_dtype=self.transfer_dtype,
             )
         else:
             image = transforms.normalize_img(image)
@@ -98,11 +101,13 @@ class CocoClsDataset(CocoDatasetBase):
 class CocoSegDataset(CocoDatasetBase):
     def __init__(self, root_dir: str, name_list_dir: str, split: str = "val_part",
                  stage: str = "val", num_classes: int = 81, ignore_index: int = 255,
-                 label_folder: Optional[str] = None):
+                 label_folder: Optional[str] = None,
+                 transfer_dtype: str = "float32"):
         super().__init__(root_dir, name_list_dir, split, label_folder)
         self.stage = stage
         self.num_classes = num_classes
         self.ignore_index = ignore_index
+        self.transfer_dtype = transfer_dtype
 
     def __getitem__(self, idx: int, seed: Optional[int] = None) -> Dict:
         name = self.name_list[idx]
@@ -111,7 +116,8 @@ class CocoSegDataset(CocoDatasetBase):
         cls_label = onehot_from_mask(label, self.num_classes, self.ignore_index)
         return {
             "name": name,
-            "image": transforms.normalize_img(image),
+            "image": (image if self.transfer_dtype == "uint8"
+                      else transforms.normalize_img(image)),
             "raw_image": image,
             "label": label.astype(np.int32),
             "cls_label": cls_label,

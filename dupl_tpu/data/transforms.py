@@ -149,9 +149,15 @@ def train_transform(
     rng: random.Random,
     fliplr: bool = True,
     ignore_index: int = 255,
+    transfer_dtype: str = "float32",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """The classification-train chain (datasets/voc.py:134-151 + global_view1
-    photometric aug).  Returns (normalised float32 HWC, img_box)."""
+    photometric aug).  Returns (image HWC, img_box).
+
+    ``transfer_dtype="float32"``: ImageNet-normalised float32, the reference's
+    wire format.  ``"uint8"``: the photometrically-augmented uint8 crop —
+    normalisation moves on device (``ops.image.prepare_inputs``, same float
+    ops to <=1 ulp) and the batch crosses host->device at 1/4 the bytes."""
     image = random_scaling(image, scale_range=rescale_range, rng=rng)
     if fliplr:
         image = random_fliplr(image, rng=rng)
@@ -162,4 +168,7 @@ def train_transform(
     pil = Image.fromarray(image.astype(np.uint8))
     pil = color_jitter(pil, rng=rng)
     pil = gaussian_blur(pil, p=1.0, rng=rng)
-    return normalize_img(np.asarray(pil)), img_box
+    out = np.asarray(pil)
+    if transfer_dtype == "uint8":
+        return out, img_box
+    return normalize_img(out), img_box

@@ -81,7 +81,8 @@ class VocClsDataset(VocDatasetBase):
                  crop_size: int = 448, rescale_range: Tuple[float, float] = (0.5, 2.0),
                  img_fliplr: bool = True, num_classes: int = 21,
                  ignore_index: int = 255, aug: bool = True,
-                 cls_label_path: Optional[str] = None):
+                 cls_label_path: Optional[str] = None,
+                 transfer_dtype: str = "float32"):
         super().__init__(root_dir, name_list_dir, split)
         self.crop_size = crop_size
         self.rescale_range = rescale_range
@@ -89,6 +90,7 @@ class VocClsDataset(VocDatasetBase):
         self.num_classes = num_classes
         self.ignore_index = ignore_index
         self.aug = aug
+        self.transfer_dtype = transfer_dtype
         self.label_list = load_cls_labels(name_list_dir)
 
     def __getitem__(self, idx: int, seed: Optional[int] = None) -> Dict:
@@ -100,6 +102,7 @@ class VocClsDataset(VocDatasetBase):
             image, img_box = transforms.train_transform(
                 image, self.crop_size, self.rescale_range, rng,
                 fliplr=self.img_fliplr, ignore_index=self.ignore_index,
+                transfer_dtype=self.transfer_dtype,
             )
         else:
             image = transforms.normalize_img(image)
@@ -112,11 +115,13 @@ class VocSegDataset(VocDatasetBase):
     (VOC12SegDataset, voc.py:191-247; val path = normalize only)."""
 
     def __init__(self, root_dir: str, name_list_dir: str, split: str = "val",
-                 stage: str = "val", num_classes: int = 21, ignore_index: int = 255):
+                 stage: str = "val", num_classes: int = 21, ignore_index: int = 255,
+                 transfer_dtype: str = "float32"):
         super().__init__(root_dir, name_list_dir, split)
         self.stage = stage
         self.num_classes = num_classes
         self.ignore_index = ignore_index
+        self.transfer_dtype = transfer_dtype
 
     def __getitem__(self, idx: int, seed: Optional[int] = None) -> Dict:
         name = self.name_list[idx]
@@ -128,7 +133,10 @@ class VocSegDataset(VocDatasetBase):
         cls_label = onehot_from_mask(label, self.num_classes, self.ignore_index)
         return {
             "name": name,
-            "image": transforms.normalize_img(image),
+            # uint8 wire format: consumers normalise on device
+            # (ops.image.prepare_inputs) and the image crosses at 1/4 bytes
+            "image": (image if self.transfer_dtype == "uint8"
+                      else transforms.normalize_img(image)),
             "raw_image": image,
             "label": label.astype(np.int32),
             "cls_label": cls_label,

@@ -106,6 +106,7 @@ class SegEvaluator:
                 # branch axis rides through msc_seg_logits as a leading axis
                 # (seg: (2, 2B, h, w, C)) so both students share each scale's
                 # forward dispatch.
+                x, _ = image_ops.prepare_inputs(x)  # uint8 wire format ok
                 hh, ww = x.shape[1:3]
                 out = ((hh // patch, ww // patch)
                        if self.merge_at == "decoder" else (hh, ww))
@@ -168,18 +169,24 @@ class SegEvaluator:
                 for lo in range(0, len(indices), batch_size):
                     yield indices[lo:lo + batch_size]
 
+        # per-image fixed-size prep, jitted (retraces per native shape+dtype):
+        # normalise-at-the-edge handles the uint8 wire format before the
+        # resize, and the f32 format passes through unchanged
+        @jax.jit
+        def _prep_fixed(x):
+            x, _ = image_ops.prepare_inputs(x[None])
+            return image_ops.resize_bilinear(x, (base, base))[0]
+
         def batches():
             lo = 0
             for chunk in chunks():
                 samples = [dataset[i] for i in chunk]
                 if self.input_mode == "native":
+                    # same-shape bucket: one stack; _device_msc normalises
                     imgs = jnp.stack([jnp.asarray(s["image"]) for s in samples])
                 else:
-                    imgs = jnp.stack([
-                        image_ops.resize_bilinear(
-                            jnp.asarray(s["image"])[None], (base, base))[0]
-                        for s in samples
-                    ])
+                    imgs = jnp.stack([_prep_fixed(jnp.asarray(s["image"]))
+                                      for s in samples])
                 yield lo, samples, imgs
                 lo += len(chunk)
 

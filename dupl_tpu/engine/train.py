@@ -115,6 +115,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ state
     def init_state(self, rng: jax.Array, sample: jax.Array) -> TrainState:
+        sample, _ = image_ops.prepare_inputs(sample)  # uint8 wire format ok
         params = self.model.init(rng, sample)
         self.tx = make_optimizer(self.cfg.optim, params, self.cfg.max_iters)
         # Warm-up phase: the reference's seg_loss is a graphless constant
@@ -261,7 +262,8 @@ class Trainer:
     def _grads_warmup(self, state: TrainState, batch, weights):
         """Phase 1: cls + ptc + sim (train_final_voc.py:194-258)."""
         cfg = self.cfg
-        inputs, cls_label, img_box = batch["image"], batch["cls_label"], batch["img_box"]
+        inputs, _ = image_ops.prepare_inputs(batch["image"])
+        cls_label, img_box = batch["cls_label"], batch["img_box"]
         grid = inputs.shape[1] // cfg.model.patch_size
 
         def loss_fn(params):
@@ -289,10 +291,10 @@ class Trainer:
         where refinement uses aux CAMs + static thresholds
         (train_final_coco.py:312-321)."""
         cfg = self.cfg
-        inputs, cls_label, img_box = batch["image"], batch["cls_label"], batch["img_box"]
+        inputs, inputs_denorm = image_ops.prepare_inputs(batch["image"])
+        cls_label, img_box = batch["cls_label"], batch["img_box"]
         b, h, w, _ = inputs.shape
         grid = h // cfg.model.patch_size
-        inputs_denorm = image_ops.denormalize(inputs)
 
         high_b = self._high_thresholds(state.step, cls_label)
         dynamic = not static_refine
@@ -333,10 +335,10 @@ class Trainer:
         """Phase 3: + GMM noise filtering + strong-view consistency
         (train_final_voc.py:286-447)."""
         cfg = self.cfg
-        inputs, cls_label, img_box = batch["image"], batch["cls_label"], batch["img_box"]
+        inputs, inputs_denorm = image_ops.prepare_inputs(batch["image"])
+        cls_label, img_box = batch["cls_label"], batch["img_box"]
         b, h, w, _ = inputs.shape
         grid = h // cfg.model.patch_size
-        inputs_denorm = image_ops.denormalize(inputs)
 
         rng = jax.random.fold_in(state.rng, state.step)
         aug01 = augment_ops.strong_augment(rng, inputs_denorm, cfg.aug_n, cfg.aug_m)

@@ -89,6 +89,31 @@ def normalize(x01: jax.Array) -> jax.Array:
     return (x01 * 255.0 - mean) / std
 
 
+def prepare_inputs(image: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Accept a training image batch in either wire format and return
+    ``(imagenet_normalised_f32, denormalised_01)``.
+
+    Two formats:
+    - float32, already ImageNet-normalised on the host (the reference's
+      datasets/transforms.py:45-52 path) — passed through; the [0,1] view is
+      recovered via :func:`denormalize`.
+    - **uint8 [0,255]** (production wire format): 4x smaller host->device
+      transfers.  Normalisation runs the same (u8 - mean) / std here in
+      float32 (the host numpy path rounds once through float64, so the two
+      formats agree to <=1 ulp); the [0,1] view is the exact u8/255 instead
+      of a normalise/denormalise round-trip.
+
+    Consumers that only need one of the two views rely on XLA dead-code
+    elimination (both are elementwise chains off the same input).
+    """
+    if image.dtype == jnp.uint8:
+        f = image.astype(jnp.float32)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        return (f - mean) / std, f / 255.0
+    return image, denormalize(image)
+
+
 def box_mask(img_box: jax.Array, height: int, width: int) -> jax.Array:
     """(B, 4) [h0, h1, w0, w1] -> (B, H, W) bool mask of the valid crop region.
 

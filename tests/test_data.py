@@ -173,3 +173,60 @@ def test_loader_deterministic_order_and_resume():
         np.testing.assert_array_equal(x["idx"], y["idx"])
         np.testing.assert_array_equal(x["seed"], y["seed"])
         np.testing.assert_array_equal(x["x"], y["x"])
+
+
+def test_uint8_transfer_dtype_emission(fake_voc):
+    """transfer_dtype='uint8' ships the photometrically-augmented crop
+    pre-normalisation: same pixels, same augmentation draws, 1/4 the bytes
+    (ops.image.prepare_inputs normalises on device to <=1 ulp)."""
+    from dupl_tpu.data.transforms import normalize_img
+    from dupl_tpu.data.voc import VocClsDataset
+
+    root, lists = fake_voc
+    f32 = VocClsDataset(root, lists, "train_aug", crop_size=64)
+    u8 = VocClsDataset(root, lists, "train_aug", crop_size=64,
+                       transfer_dtype="uint8")
+    for i in (0, 3):
+        a = f32.__getitem__(i, seed=11)
+        b = u8.__getitem__(i, seed=11)
+        assert b["image"].dtype == np.uint8
+        assert a["image"].dtype == np.float32
+        np.testing.assert_array_equal(a["img_box"], b["img_box"])
+        # identical augmentation stream: host-normalising the uint8 crop
+        # reproduces the float32 wire format exactly
+        np.testing.assert_array_equal(a["image"], normalize_img(b["image"]))
+
+
+def test_device_feeder_order_and_stop():
+    """DeviceFeeder yields (host, device) pairs in loader order, applies
+    put_fn off-thread, and stop() tears down the underlying loader."""
+    import jax.numpy as jnp
+    from dupl_tpu.data.pipeline import DeviceFeeder, PrefetchLoader
+
+    loader = PrefetchLoader(_CountingDataset(12), batch_size=3,
+                            num_workers=2, seed=5)
+    ref = PrefetchLoader(_CountingDataset(12), batch_size=3,
+                         num_workers=2, seed=5)
+    feeder = DeviceFeeder(loader, lambda b: jnp.asarray(b["x"]) * 2.0,
+                          keys=("x",))
+    it, rit = iter(feeder), iter(ref)
+    for _ in range(6):
+        host, dev = next(it)
+        want = next(rit)
+        np.testing.assert_array_equal(host["idx"], want["idx"])
+        np.testing.assert_allclose(np.asarray(dev), want["x"] * 2.0, rtol=1e-6)
+        assert "idx" in host  # full host batch stays available to log sites
+    feeder.stop()
+    ref.stop()
+    assert loader._stop.is_set()  # propagated to the source loader
+
+
+def test_device_feeder_error_propagates():
+    from dupl_tpu.data.pipeline import DeviceFeeder, PrefetchLoader
+
+    loader = PrefetchLoader(_CountingDataset(8, fail_at=5), batch_size=2,
+                            num_workers=2, seed=0)
+    feeder = DeviceFeeder(loader, lambda b: b["x"], keys=("x",))
+    with pytest.raises(RuntimeError):
+        for _ in iter(feeder):
+            pass

@@ -180,3 +180,39 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded["params"]["decoder"]["conv6"]["kernel"]),
         np.asarray(state.params["params"]["decoder"]["conv6"]["kernel"]))
+
+
+class _Uint8Wire(FakeSegDataset):
+    """Same images as FakeSegDataset but in the uint8 wire format
+    (data/voc.py transfer_dtype='uint8': 'image' is the raw uint8 array;
+    consumers normalise on device via ops.image.prepare_inputs)."""
+
+    def __getitem__(self, i, seed=None):
+        s = super().__getitem__(i, seed=seed)
+        return dict(s, image=s["raw_image"])
+
+
+def test_validator_uint8_wire_same_scores(tiny_setup):
+    """uint8 val input (4x less H2D) scores like the f32 wire format: the
+    device normalise is the same (u8-mean)/std to <=1 ulp, so only argmax
+    ties at the banding thresholds can move — none on the tiny model."""
+    cfg, trainer, params = tiny_setup
+    a = Validator(cfg, trainer.model).run(params, FakeSegDataset())
+    b = Validator(cfg, trainer.model).run(params, _Uint8Wire())
+    for key in ("seg_1_miou", "seg_2_miou", "cam_1_miou", "cam_2_miou",
+                "cam_aux_1_miou", "cam_aux_2_miou", "cls_f1_1", "cls_f1_2"):
+        assert abs(a[key] - b[key]) < 5e-3, (key, a[key], b[key])
+
+
+@pytest.mark.parametrize("input_mode", ["fixed", "native"])
+def test_seg_evaluator_uint8_wire_same_scores(tiny_setup, input_mode):
+    cfg, trainer, params = tiny_setup
+    kw = dict(scales=(1.0, 1.5), merge="max", input_mode=input_mode)
+    a = SegEvaluator(cfg, trainer.model, **kw).run(
+        params, FakeSegDataset(with_sizes=True), batch_size=2, crf="none")
+    b = SegEvaluator(cfg, trainer.model, **kw).run(
+        params, _Uint8Wire(with_sizes=True), batch_size=2, crf="none")
+    assert a["branch"] == b["branch"]
+    for k in (1, 2):
+        assert abs(a[f"seg_score_{k}"]["miou"]
+                   - b[f"seg_score_{k}"]["miou"]) < 5e-3

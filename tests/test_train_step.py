@@ -210,3 +210,39 @@ def test_recipe_global_batch_derivation():
     got, warn = resolve_samples_per_device(
         dataclasses.replace(voc, global_batch=None), 1)
     assert got.samples_per_device == voc.samples_per_device and warn is None
+
+
+def test_uint8_wire_format_step_parity(tiny_trainer):
+    """The uint8 wire format (device-side normalize, ops/image.py
+    prepare_inputs) trains the same as the reference's host-normalised f32
+    format: the normalisation is the SAME (u8-mean)/std — float32 on device
+    vs numpy's round-through-float64 on host, <=1 ulp apart; the [0,1]
+    PAR/strong-aug view is exact u8/255 vs the f32 path's normalise/
+    denormalise round-trip, so step metrics agree to fp tolerance."""
+    from dupl_tpu.data.transforms import normalize_img
+    from dupl_tpu.ops import image as image_ops
+
+    cfg, trainer, state, batch = tiny_trainer
+    rs = np.random.RandomState(3)
+    u8 = (rs.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+
+    norm_dev, denorm_dev = jax.jit(image_ops.prepare_inputs)(jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(norm_dev), normalize_img(u8),
+                               rtol=3e-7, atol=3e-7)  # <=1 ulp
+    # XLA lowers /255 as *reciprocal(255): <=1 ulp vs the numpy division
+    np.testing.assert_allclose(np.asarray(denorm_dev),
+                               u8.astype(np.float32) / 255.0,
+                               rtol=3e-7, atol=3e-7)
+
+    b8 = dict(batch, image=jnp.asarray(u8))
+    bf = dict(batch, image=jnp.asarray(normalize_img(u8)))
+    # fresh state per call: step functions donate the input state's buffers
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    clone = lambda s: jax.tree.map(jnp.array, s)
+    for step in (0, 5):  # warmup and full phases
+        _, m8 = trainer.train_step(clone(state), b8, step=step)
+        _, mf = trainer.train_step(clone(state), bf, step=step)
+        for k in m8:
+            np.testing.assert_allclose(
+                np.asarray(m8[k]), np.asarray(mf[k]), rtol=2e-4, atol=2e-5,
+                err_msg=f"metric {k} diverged between wire formats at step {step}")

@@ -32,6 +32,11 @@ def main():
     p.add_argument("--input-mode", choices=["fixed", "native"], default="fixed",
                    help="'native' evaluates at original image resolution "
                         "(reference VOC eval semantics; compiles per shape)")
+    p.add_argument("--transfer-dtype", default="uint8",
+                   choices=["uint8", "float32"],
+                   help="image wire format: uint8 ships raw pixels at 1/4 "
+                        "the bytes and normalises on device (<=1 ulp from "
+                        "the host path); float32 is the reference's format")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--scales", type=float, nargs="+", default=None)
@@ -72,7 +77,8 @@ def main():
         split = args.infer_set or "val"
         ds = VocSegDataset(args.data_folder, list_folder, split,
                            stage="test" if split == "test" else "val",
-                           num_classes=cfg.num_classes)
+                           num_classes=cfg.num_classes,
+                           transfer_dtype=args.transfer_dtype)
         scales = tuple(args.scales or (1.0, 1.5, 1.25))
         merge = "max"  # eval_seg_voc.py:76-77
         merge_at = "input"
@@ -81,7 +87,8 @@ def main():
         ds = CocoSegDataset(args.data_folder, list_folder,
                             args.infer_set or "val_part",
                             num_classes=cfg.num_classes,
-                            label_folder=args.label_folder)
+                            label_folder=args.label_folder,
+                            transfer_dtype=args.transfer_dtype)
         scales = tuple(args.scales or (1.0, 1.25, 1.5))
         merge = "sum"  # eval_seg_coco_ddp.py:120-121
         merge_at = "decoder"  # COCO merges at the scale-1.0 seg grid (:93-121)

@@ -78,7 +78,9 @@ def main():
     base = cfg.data.crop_size
     for i in range(n):
         s = ds[i]
-        img = image_ops.resize_bilinear(jnp.asarray(s["image"])[None], (base, base))
+        img = image_ops.resize_bilinear(
+            image_ops.prepare_inputs(jnp.asarray(s["image"])[None])[0],
+            (base, base))
         cams, _ = cam_fn(img)
         cams = np.asarray(cams, np.float32)[0]
         size = s["label"].shape

@@ -44,6 +44,12 @@ def parse_args():
                    help="resume from the latest checkpoint in work-dir")
     p.add_argument("--eval-iters", type=int, default=None)
     p.add_argument("--log-iters", type=int, default=None)
+    p.add_argument("--transfer-dtype", default="uint8",
+                   choices=["uint8", "float32"],
+                   help="train-batch wire format: uint8 ships the augmented "
+                        "crop at 1/4 the bytes and normalises on device "
+                        "(same floats to <=1 ulp); float32 ships host-"
+                        "normalised images (the reference's format)")
     p.add_argument("--val-transfer-dtype", default=None,
                    choices=["bfloat16"],
                    help="round CAM tensors before device->host transfer "
@@ -134,16 +140,20 @@ def main():
                                  crop_size=cfg.data.crop_size,
                                  rescale_range=cfg.data.rescale_range,
                                  num_classes=cfg.num_classes,
-                                 ignore_index=cfg.ignore_index)
+                                 ignore_index=cfg.ignore_index,
+                                 transfer_dtype=args.transfer_dtype)
         val_ds = VocSegDataset(args.data_folder, list_folder, cfg.data.val_split,
-                               num_classes=cfg.num_classes)
+                               num_classes=cfg.num_classes,
+                               transfer_dtype=args.transfer_dtype)
     else:
         from dupl_tpu.data.coco import CocoClsDataset, CocoSegDataset
         train_ds = CocoClsDataset(args.data_folder, list_folder, "train",
                                   crop_size=cfg.data.crop_size,
-                                  num_classes=cfg.num_classes)
+                                  num_classes=cfg.num_classes,
+                                  transfer_dtype=args.transfer_dtype)
         val_ds = CocoSegDataset(args.data_folder, list_folder, "val_part",
-                                num_classes=cfg.num_classes)
+                                num_classes=cfg.num_classes,
+                                transfer_dtype=args.transfer_dtype)
 
     mesh = make_mesh(n_model=args.model_parallel)
     n_data = mesh.shape["data"]
@@ -198,14 +208,19 @@ def main():
     # aren't observable; one extra no-grad CAM dispatch per log interval
     # (compiled once) recreates them for the first few samples.
     from dupl_tpu.ops import image as image_ops
-    cam_fn = jax.jit(lambda p, x: trainer._multi_scale_cams(p, x)[0])
+
+    @jax.jit
+    def cam_fn(p, x):
+        # accepts either wire format (uint8 production batches or f32)
+        norm, denorm01 = image_ops.prepare_inputs(x)
+        return trainer._multi_scale_cams(p, norm)[0], denorm01
 
     def log_cam_grids(state, dev_batch, cls_label_np, step):
         n = min(4, dev_batch["image"].shape[0])
         imgs = dev_batch["image"][:n]
-        cams = np.asarray(cam_fn(state.params, imgs), np.float32)  # (2,n,H,W,C)
-        cams = cams * cls_label_np[None, :n, None, None, :]
-        imgs01 = np.asarray(image_ops.denormalize(imgs), np.float32)
+        cams, imgs01 = cam_fn(state.params, imgs)
+        cams = np.asarray(cams, np.float32) * cls_label_np[None, :n, None, None, :]
+        imgs01 = np.asarray(imgs01, np.float32)
         tb.image("CAM/inputs", image_grid(imgs01), step)
         tb.image("CAM/cams_1", cam_overlay_grid(imgs01, cams[0]), step)
         tb.image("CAM/cams_2", cam_overlay_grid(imgs01, cams[1]), step)
@@ -217,15 +232,16 @@ def main():
         # iteration would block on the previous step's completion and
         # re-serialise dispatch against the device.
         step = int(state.step)
-        for batch in loader:
+        # stage H2D transfers ahead of the step (DeviceFeeder thread): the
+        # step-N batch uploads while step N-1 computes
+        from dupl_tpu.data.pipeline import DeviceFeeder
+        feeder = DeviceFeeder(loader, lambda b: shard_batch(mesh, b),
+                              keys=("image", "cls_label", "img_box"))
+        for batch, dev_batch in feeder:
             if step >= cfg.max_iters:
                 break
             if args.profile_iters and step == args.profile_iters[0]:
                 jax.profiler.start_trace(os.path.join(work_dir, "profile"))
-            dev_batch = shard_batch(mesh, {
-                "image": batch["image"], "cls_label": batch["cls_label"],
-                "img_box": batch["img_box"],
-            })
             state, metrics = trainer.train_step(state, dev_batch, step=step)
             meter.add(metrics)  # device scalars; synced at the log boundary
             if args.profile_iters and step == args.profile_iters[1]:
@@ -272,7 +288,7 @@ def main():
 
             step += 1
 
-    loader.stop()
+    feeder.stop()  # also stops the underlying PrefetchLoader
     tb.close()
     log.info("done.")
 
