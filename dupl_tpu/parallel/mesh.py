@@ -12,6 +12,12 @@ head/hidden dimension, the decoder on its embed channels.  Activations stay
 replicated at block boundaries; XLA places the reduce-scatter/all-gather pairs.
 Shardings are data-declarative (NamedSharding on the param tree) — the step
 functions in ``dupl_tpu.engine.train`` are unchanged.
+
+``fsdp=True`` (param_sharding / shard_state) additionally shards parameters
+AND Adam moments over the ``data`` axis (ZeRO-3-style fully-sharded DP):
+~n_data-fold less param+optimizer memory per chip, with XLA inserting the
+per-weight all-gather (forward/backward) and gradient reduce-scatter.
+Composes with the ``model`` axis (2-D sharded weights).
 """
 
 from __future__ import annotations
@@ -64,6 +70,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+# -------------------------------------------------------------------------- FSDP
+def _add_fsdp_axis(spec: P, leaf, n_data: int) -> P:
+    """Add ZeRO-style parameter sharding over the ``data`` axis to a (possibly
+    TP-annotated) spec: pick the LARGEST free dim divisible by ``n_data``.
+
+    Declarative FSDP: with params (and Adam moments) laid out this way, XLA's
+    SPMD partitioner all-gathers each weight just before use and
+    reduce-scatters its gradient — the optimizer update then runs on the
+    1/n_data-sized shard.  Param + moment memory per chip drops ~n_data-fold
+    (what makes ViT-L/H + batch fit on a v5e), at the cost of one
+    all-gather per weight per step that overlaps with compute on ICI.
+    The step functions are unchanged (pure NamedSharding layout choice);
+    ``test_parallel.py`` pins fsdp == dp numerically.
+    """
+    if n_data <= 1 or leaf.ndim == 0:
+        return spec
+    entries = list(spec) + [None] * (leaf.ndim - len(spec))
+    best, best_dim = None, 0
+    for i, (ax, dim) in enumerate(zip(entries, leaf.shape)):
+        if ax is None and dim % n_data == 0 and dim > best_dim:
+            best, best_dim = i, dim
+    if best is None or best_dim < n_data:  # tiny leaf: keep replicated
+        return spec
+    entries[best] = "data"
+    return P(*entries)
+
+
 # --------------------------------------------------------------------------- TP
 def _param_spec(path_keys, leaf) -> P:
     """Megatron-style partition spec for one ViT/decoder param leaf.
@@ -95,24 +128,29 @@ def _param_spec(path_keys, leaf) -> P:
     return P(*((None,) * leaf.ndim))
 
 
-def param_sharding(mesh: Mesh, params):
+def param_sharding(mesh: Mesh, params, fsdp: bool = False):
     """NamedSharding tree for the (possibly branch-stacked) Student params.
-    With ``model`` axis size 1 this degrades to pure replication (DP parity
-    with the reference)."""
+    With ``model`` axis size 1 and ``fsdp=False`` this degrades to pure
+    replication (DP parity with the reference); ``fsdp=True`` additionally
+    shards every (large-enough) leaf over the ``data`` axis (ZeRO-style —
+    see :func:`_add_fsdp_axis`)."""
+    n_data = mesh.shape["data"]
 
     def one(path, leaf):
         keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
-        if mesh.shape["model"] == 1:
-            return NamedSharding(mesh, P(*((None,) * leaf.ndim)))
-        return NamedSharding(mesh, _param_spec(keys, leaf))
+        spec = (_param_spec(keys, leaf) if mesh.shape["model"] > 1
+                else P(*((None,) * leaf.ndim)))
+        if fsdp:
+            spec = _add_fsdp_axis(spec, leaf, n_data)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_state(mesh: Mesh, state):
+def shard_state(mesh: Mesh, state, fsdp: bool = False):
     """Place a TrainState: params/opt-state per param sharding, scalars
     replicated."""
-    psh = param_sharding(mesh, state.params)
+    psh = param_sharding(mesh, state.params, fsdp=fsdp)
     params = jax.tree.map(jax.device_put, state.params, psh)
 
     def opt_put(x):
@@ -122,10 +160,11 @@ def shard_state(mesh: Mesh, state):
             return jax.device_put(x, NamedSharding(mesh, P(*((None,) * x.ndim))))
         return x
 
-    # Adam moments share the param tree structure -> same shardings
+    # Adam moments share the param tree structure -> same shardings (under
+    # fsdp the moments shard with their params: ZeRO's optimizer-state split)
     def put_like_params(subtree):
         try:
-            sh = param_sharding(mesh, subtree)
+            sh = param_sharding(mesh, subtree, fsdp=fsdp)
             return jax.tree.map(jax.device_put, subtree, sh)
         except Exception:
             return jax.tree.map(opt_put, subtree)

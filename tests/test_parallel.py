@@ -45,6 +45,72 @@ def test_tp_partition_specs():
     assert leaf.shape[-1] % 2 == 0
 
 
+def test_fsdp_partition_specs():
+    """fsdp=True shards each large-enough leaf over the ``data`` axis on its
+    largest free (divisible) dim, composing with TP; tiny leaves (scalars,
+    dims not divisible by n_data) stay replicated."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = DualStudent(TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sh = param_sharding(mesh, params, fsdp=True)
+
+    # every leaf with a dim divisible by 4 beyond the TP axis carries "data"
+    leaf, s = _named(params, sh, "attn/qkv/kernel")
+    assert "model" in s.spec and "data" in s.spec
+    # TP axis untouched (still column-parallel on the last dim)
+    assert s.spec[-1] == "model"
+    leaf, s = _named(params, sh, "classifier/kernel")
+    # heads replicated under TP but still fsdp-sharded over data
+    assert "model" not in s.spec and "data" in s.spec
+    # the data axis lands on the largest divisible free dim
+    data_dim = leaf.shape[list(s.spec).index("data")]
+    free = [d for ax, d in zip(s.spec, leaf.shape) if ax is None]
+    assert all(data_dim >= d for d in free if d % 4 == 0)
+
+    # biases of size < n_data (or non-divisible) stay replicated
+    for (kp, leaf), s in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree.leaves(sh)):
+        if leaf.ndim == 0:
+            assert all(x is None for x in s.spec)
+        for ax, d in zip(s.spec, leaf.shape):
+            if ax == "data":
+                assert d % 4 == 0
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path):
+    """An fsdp-sharded TrainState (params + Adam moments distributed over the
+    data axis) must save through orbax and restore bit-identically into an
+    unsharded template — the exact flow of ``tools/train.py --fsdp --resume``
+    (restore happens before shard_state re-places the arrays)."""
+    from dupl_tpu.config import voc_config, ParConfig, GmmConfig
+    from dupl_tpu.engine.train import Trainer
+    from dupl_tpu.engine import checkpoint as ckpt
+    from dupl_tpu.parallel import shard_state
+
+    cfg = voc_config(model=TINY, par=ParConfig(num_iter=2),
+                     gmm=GmmConfig(min_pixels=10),
+                     cam_iters=0, gmm_iters=0, max_iters=10)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))
+    host = jax.tree.map(np.asarray, state.params)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    with mesh:
+        sharded = shard_state(mesh, state, fsdp=True)
+        path = ckpt.save_state(str(tmp_path), sharded)
+    assert path.endswith("step_0")
+
+    template = trainer.init_state(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3)))
+    restored = ckpt.restore_state(str(tmp_path), template)
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(host)[0],
+            jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(
+            a, np.asarray(b),
+            err_msg="/".join(getattr(k, "key", str(k)) for k in kp))
+
+
 def test_dp_only_mesh_replicates():
     mesh = make_mesh(n_data=8, n_model=1)
     model = DualStudent(TINY)
@@ -80,13 +146,19 @@ def test_tp_matches_dp_numerically():
     )
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch=8, crop=64).items()}
 
+    arms = {
+        "dp": (8, 1, False),
+        "dp_tp": (4, 2, False),
+        "fsdp": (8, 1, True),       # ZeRO-style: params+moments over data
+        "fsdp_tp": (4, 2, True),    # 2-D: data x model sharded weights
+    }
     results = {}
-    for name, (n_data, n_model) in {"dp": (8, 1), "dp_tp": (4, 2)}.items():
+    for name, (n_data, n_model, fsdp) in arms.items():
         trainer = Trainer(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         with mesh:
-            state = shard_state(mesh, state)
+            state = shard_state(mesh, state, fsdp=fsdp)
             dev_batch = shard_batch(mesh, batch)
             state, metrics = trainer.train_step(state, dev_batch)
         results[name] = (
@@ -95,13 +167,15 @@ def test_tp_matches_dp_numerically():
         )
 
     p_dp, m_dp = results["dp"]
-    p_tp, m_tp = results["dp_tp"]
-    for k in m_dp:
-        np.testing.assert_allclose(m_dp[k], m_tp[k], rtol=2e-4, atol=1e-5,
-                                   err_msg=f"metric {k}")
-    flat_dp = jax.tree_util.tree_flatten_with_path(p_dp)[0]
-    flat_tp = jax.tree.leaves(p_tp)
-    for (kp, a), b in zip(flat_dp, flat_tp):
-        np.testing.assert_allclose(
-            a, b, rtol=5e-4, atol=2e-5,
-            err_msg="/".join(getattr(k, "key", str(k)) for k in kp))
+    for arm in ("dp_tp", "fsdp", "fsdp_tp"):
+        p_arm, m_arm = results[arm]
+        for k in m_dp:
+            np.testing.assert_allclose(m_dp[k], m_arm[k], rtol=2e-4, atol=1e-5,
+                                       err_msg=f"{arm}: metric {k}")
+        flat_dp = jax.tree_util.tree_flatten_with_path(p_dp)[0]
+        flat_arm = jax.tree.leaves(p_arm)
+        for (kp, a), b in zip(flat_dp, flat_arm):
+            np.testing.assert_allclose(
+                a, b, rtol=5e-4, atol=2e-5,
+                err_msg=arm + ": " +
+                "/".join(getattr(k, "key", str(k)) for k in kp))

@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--samples-per-device", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-style fully-sharded data parallelism: params "
+                        "and Adam moments shard over the data axis "
+                        "(~n_data-fold less state memory per chip; XLA "
+                        "inserts the all-gather/reduce-scatter)")
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in work-dir")
@@ -226,7 +231,7 @@ def main():
         tb.image("CAM/cams_2", cam_overlay_grid(imgs01, cams[1]), step)
 
     with mesh:
-        state = shard_state(mesh, state)
+        state = shard_state(mesh, state, fsdp=args.fsdp)
         # Host-side step counter (in lockstep with state.step, which advances
         # by exactly 1 per train_step): reading ``int(state.step)`` every
         # iteration would block on the previous step's completion and
