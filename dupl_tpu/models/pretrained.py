@@ -117,6 +117,88 @@ def load_deit_checkpoint(path: str, depth: int = 12) -> Dict:
     return convert_vit_state_dict(state, depth)
 
 
+def infer_vit_depth(state: Mapping[str, "np.ndarray"]) -> int:
+    """Number of transformer blocks present in a flat torch state dict."""
+    idx = [int(k.split(".")[1]) for k in state
+           if k.startswith("blocks.") and k.split(".")[1].isdigit()]
+    if not idx:
+        raise ValueError("no 'blocks.N.*' keys: not a ViT state dict")
+    return max(idx) + 1
+
+
+def convert_student_state_dict(state: Mapping[str, "np.ndarray"],
+                               depth: int | None = None) -> Dict:
+    """Flat reference ``network`` state dict -> flax Student params.
+
+    The reference student (model/model_dupl.py:9-106) is an encoder plus a
+    LargeFOV decoder (bias-free convs, model/decoder/conv_head.py:5-9) and
+    two bias-free 1x1-conv classifiers (model/model_dupl.py:26-32).  Layout:
+
+      encoder.*                 -> encoder/* via :func:`convert_vit_state_dict`
+      decoder.conv{6,7,8}.weight   OIHW -> HWIO
+      classifier.weight         (C-1,D,1,1) -> Dense kernel (D,C-1)
+      aux_classifier.weight     likewise
+
+    This is the SAME mapping tests/ref_oracle.py co-runs against the live
+    torch module in the parity suite — single-sourced here so the production
+    converter and the test oracle cannot drift apart.
+    """
+    enc = {k[len("encoder."):]: v for k, v in state.items()
+           if k.startswith("encoder.")}
+    p: Dict = {"encoder": convert_vit_state_dict(
+        enc, depth if depth is not None else infer_vit_depth(enc))}
+    p["decoder"] = {
+        f"conv{i}": {"kernel": _t(state[f"decoder.conv{i}.weight"]
+                                  ).transpose(2, 3, 1, 0)}
+        for i in (6, 7, 8)}
+    p["classifier"] = {"kernel": _t(state["classifier.weight"])[:, :, 0, 0].T}
+    p["aux_classifier"] = {
+        "kernel": _t(state["aux_classifier.weight"])[:, :, 0, 0].T}
+    return p
+
+
+def convert_siamese_state_dict(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Flat reference ``siamese_network`` state dict (the published trained
+    checkpoints, ``torch.save(model.state_dict())`` of the DDP-wrapped model,
+    train_final_voc.py:513-519) -> branch-stacked DualStudent variables.
+
+    ``module.`` prefixes are stripped exactly as the reference eval does
+    (``k.replace('module.', '')``, tools/eval_seg_voc.py:172-177), then the
+    two ``branchN.`` subtrees are converted and stacked on a leading branch
+    axis (the repo's DualStudent layout).
+    """
+    state = {k.replace("module.", ""): v for k, v in state.items()}
+    branches = []
+    for b in ("branch1", "branch2"):
+        sub = {k[len(b) + 1:]: v for k, v in state.items()
+               if k.startswith(b + ".")}
+        if not sub:
+            raise ValueError(
+                f"no '{b}.*' keys — not a siamese_network checkpoint "
+                f"(got e.g. {sorted(state)[:3]})")
+        branches.append(convert_student_state_dict(sub))
+
+    def stack(a, b):
+        if isinstance(a, dict):
+            return {k: stack(a[k], b[k]) for k in a}
+        return np.stack([np.asarray(a), np.asarray(b)])
+
+    return {"params": stack(*branches)}
+
+
+def load_reference_checkpoint(path: str) -> Dict:
+    """Load a reference-trained siamese ``.pth`` (e.g. the published
+    ``dupl_voc.pth`` / ``dupl_coco.pth``, README.md:139-144) and convert to
+    branch-stacked DualStudent variables."""
+    import torch  # local import: torch is cpu-only tooling here
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and not any("." in k for k in ckpt):
+        ckpt = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    return convert_siamese_state_dict(
+        {k: v.numpy() for k, v in ckpt.items()})
+
+
 def install_pretrained_encoder(params, encoder_params: Dict):
     """Insert converted encoder weights into a (possibly branch-stacked)
     Student param tree.  If leaves carry a leading branch axis of size 2, both

@@ -83,6 +83,74 @@ def _install_timm_shim() -> None:
         sys.modules[name] = mod
 
 
+def _install_aux_shims() -> None:
+    """Shims for utils/train_helper.py's import closure: ``texttable``
+    (format_tabs renders the validation table through it — a minimal working
+    Texttable) and ``torchvision`` (imported at module level by
+    datasets/voc.py:9 and utils/imutils.py:2 but only *used* inside
+    functions the validator never calls)."""
+    if "texttable" not in sys.modules:
+        texttable = types.ModuleType("texttable")
+
+        class Texttable:
+            def __init__(self):
+                self._rows = []
+
+            def header(self, cols):
+                self._rows.append([str(c) for c in cols])
+
+            def add_row(self, cols):
+                self._rows.append([
+                    c if isinstance(c, str) else f"{float(c):.3f}"
+                    for c in cols])
+
+            def draw(self):
+                widths = [max(len(r[i]) for r in self._rows)
+                          for i in range(len(self._rows[0]))]
+                return "\n".join(
+                    " | ".join(c.ljust(w) for c, w in zip(r, widths))
+                    for r in self._rows)
+
+        texttable.Texttable = Texttable
+        sys.modules["texttable"] = texttable
+
+    if "torchvision" not in sys.modules:
+        import importlib.machinery
+
+        tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        for sub in ("transforms", "datasets", "utils"):
+            mod = types.ModuleType(f"torchvision.{sub}")
+            mod.__spec__ = importlib.machinery.ModuleSpec(
+                f"torchvision.{sub}", None)
+            setattr(tv, sub, mod)
+            sys.modules[f"torchvision.{sub}"] = mod
+        sys.modules["torchvision"] = tv
+
+    # The reference's ``datasets/`` is an implicit namespace package; the
+    # HuggingFace ``datasets`` wheel in site-packages would win the import.
+    # Register an explicit package object rooted at the reference instead
+    # (train_helper.py:15-16 needs datasets.voc / datasets.coco).
+    import os
+    ref_pkg = sys.modules.get("datasets")
+    if ref_pkg is None or not getattr(ref_pkg, "__DUPL_REFERENCE__", False):
+        pkg = types.ModuleType("datasets")
+        pkg.__path__ = [os.path.join(REFERENCE_ROOT, "datasets")]
+        pkg.__DUPL_REFERENCE__ = True
+        sys.modules["datasets"] = pkg
+
+
+def load_train_helper():
+    """Import utils/train_helper.py (the in-training validator,
+    :90-185) with the aux shims installed."""
+    _install_timm_shim()
+    _install_aux_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    import utils.train_helper as train_helper
+    return train_helper
+
+
 def load_reference():
     """Import the reference packages (model/, utils/, datasets/) and return a
     namespace holding the live modules used by the parity tests."""
@@ -142,34 +210,19 @@ def _np(t) -> np.ndarray:
 def convert_network_state(net, tensors: Dict | None = None) -> Dict:
     """Reference ``network`` (model/model_dupl.py:9) -> flax Student params.
 
-    Reuses dupl_tpu.models.pretrained.convert_vit_state_dict for the encoder
-    and maps the heads:
-      decoder.conv{6,7}.weight  OIHW -> HWIO
-      decoder.conv8.weight      (C,512,1,1) -> (1,1,512,C)
-      classifier.weight         (C-1,D,1,1) -> Dense kernel (D,C-1)
+    Delegates the layout mapping to the production converter
+    (dupl_tpu.models.pretrained.convert_student_state_dict) so the test
+    oracle and the shipped .pth bridge are the same code path.
 
     ``tensors`` overrides the source dict (same keys/shapes as the state
     dict) — used to push per-parameter *gradients* through the same layout
     mapping as the weights.
     """
-    from dupl_tpu.models.pretrained import convert_vit_state_dict
+    from dupl_tpu.models.pretrained import convert_student_state_dict
 
     state = tensors if tensors is not None else {
         k: _np(v) for k, v in net.state_dict().items()}
-    enc = {k[len("encoder."):]: v for k, v in state.items()
-           if k.startswith("encoder.")}
-    depth = len(net.encoder.blocks)
-    params = {"encoder": convert_vit_state_dict(enc, depth=depth)}
-    params["decoder"] = {
-        "conv6": {"kernel": state["decoder.conv6.weight"].transpose(2, 3, 1, 0)},
-        "conv7": {"kernel": state["decoder.conv7.weight"].transpose(2, 3, 1, 0)},
-        "conv8": {"kernel": state["decoder.conv8.weight"].transpose(2, 3, 1, 0)},
-    }
-    params["classifier"] = {
-        "kernel": state["classifier.weight"][:, :, 0, 0].T}
-    params["aux_classifier"] = {
-        "kernel": state["aux_classifier.weight"][:, :, 0, 0].T}
-    return params
+    return convert_student_state_dict(state, depth=len(net.encoder.blocks))
 
 
 def _stack_branches(p1: Dict, p2: Dict) -> Dict:

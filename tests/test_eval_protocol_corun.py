@@ -254,6 +254,69 @@ def test_voc_offline_eval_protocol_corun(tmp_path):
     assert agree / total >= 0.995, f"CRF label agreement {agree / total:.4f}"
 
 
+def test_intraining_validator_protocol_corun(monkeypatch):
+    """In-training validator co-run (VERDICT r3 item 2): the repo's
+    :class:`Validator` vs the reference's own ``validate_siamase``
+    (utils/train_helper.py:90-185) on identical weights and the same
+    synthetic seg set — CAM mIoU, aux-CAM mIoU, seg mIoU per branch and the
+    per-image cls F1, at the offline co-runs' tolerances.
+
+    The reference function runs VERBATIM (its .cuda() pinned to host via
+    monkeypatch; torchvision/texttable import shims in ref_oracle)."""
+    import types as _types
+
+    from dupl_tpu.config import DataConfig, ModelConfig, voc_config
+    from dupl_tpu.engine.validate import Validator
+
+    R = ref_oracle.load_reference()
+    th = ref_oracle.load_train_helper()
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    net, model, params = make_pair(R, num_classes=21, seed=7)
+    cfg = voc_config(model=ModelConfig(backbone=TINY_JAX,
+                                       compute_dtype="float32"),
+                     data=DataConfig(crop_size=64))
+    ds = BlobSegDataset(n=4, num_classes=21, seed=12)
+    samples = [ds[i] for i in range(len(ds))]
+
+    # the reference's val loader protocol: batch-1 (name, img, label, cls)
+    loader = [(s["name"], ref_oracle.nchw(s["image"][None]),
+               torch.tensor(s["label"][None].astype(np.int64)),
+               torch.tensor(s["cls_label"][None]))
+              for s in samples]
+    args = _types.SimpleNamespace(
+        crop_size=cfg.data.crop_size, cam_scales=cfg.cam_scales,
+        bkg_thre=cfg.bkg_thre, high_thre=cfg.high_thre,
+        low_thre=cfg.low_thre, ignore_index=255)
+    # Capture the six score dicts validate_siamase hands to format_tabs
+    # (its own return value averages per-class IoU with a plain mean, which
+    # is NaN on a tiny set where some of the 21 classes never occur; the
+    # 'miou' key inside the dicts is the nanmean the logs report).
+    captured = {}
+    real_format_tabs = th.format_tabs
+
+    def spy_format_tabs(scores, name_list, cat_list=None, return_item=False):
+        captured["scores"] = scores
+        return real_format_tabs(scores, name_list, cat_list=cat_list,
+                                return_item=return_item)
+
+    monkeypatch.setattr(th, "format_tabs", spy_format_tabs)
+    f1_1, f1_2, _, _ = th.validate_siamase(
+        model=net, data_loader=loader, args=args, return_item=True)
+    t_cam1, t_aux1, t_seg1, t_cam2, t_aux2, t_seg2 = [
+        s["miou"] for s in captured["scores"]]
+
+    res = Validator(cfg, model).run(params, ds, batch_size=2)
+
+    for key, want in [("cam_1_miou", t_cam1), ("cam_aux_1_miou", t_aux1),
+                      ("seg_1_miou", t_seg1), ("cam_2_miou", t_cam2),
+                      ("cam_aux_2_miou", t_aux2), ("seg_2_miou", t_seg2)]:
+        assert abs(res[key] - want) < 1e-3, (key, res[key], want)
+    assert abs(res["cls_f1_1"] - f1_1) < 1e-6
+    assert abs(res["cls_f1_2"] - f1_2) < 1e-6
+
+
 def test_coco_offline_eval_protocol_corun(tmp_path):
     """COCO sum-merge at decoder resolution + the strided DDP shard split
     (eval_seg_coco_ddp.py:120-121, 240-242)."""
