@@ -54,35 +54,57 @@ def _weighted_kmeans_init(x, w, iters: int = 8):
 
 
 def fit_gmm2(x: jax.Array, mask: jax.Array, *, num_iter: int = 10,
-             reg_covar: float = 5e-4) -> GmmFit:
+             reg_covar: float = 5e-4, tol: float = 1e-2) -> GmmFit:
     """Fit a 2-component 1-D Gaussian mixture to the masked entries of ``x``.
 
     x: (..., N) values; mask: (..., N) bool — points excluded by the mask have
     zero responsibility everywhere.  Batched over all leading axes.
-    """
+
+    ``tol`` replicates sklearn's convergence semantics (the reference runs
+    ``GaussianMixture(max_iter=10, tol=1e-2)``, train_final_voc.py:377):
+    sklearn STOPS when the mean log-likelihood moves < tol between
+    iterations, so its exit params are a *truncated* EM, not the fixpoint.
+    Running a fixed 10 iterations overshoots that — in the heavily
+    overlapping regime the extra iterations shift the gamma=0.95 posterior
+    boundary enough to flip ~2% of noise-mask pixels vs the reference.  Here
+    each batch element freezes its params once its own |Δ mean-LL| < tol,
+    inside the fixed-trip-count loop (no data-dependent control flow)."""
     x = x.astype(jnp.float32)
     w = mask.astype(jnp.float32)
     count = jnp.sum(w, axis=-1)
     wsum = jnp.maximum(count, 1e-12)
 
     mu = _weighted_kmeans_init(x, w)
-    # init var from global weighted variance, like sklearn's kmeans-resp M step
-    gmean = jnp.sum(w * x, axis=-1) / wsum
-    gvar = jnp.sum(w * (x - gmean[..., None]) ** 2, axis=-1) / wsum + reg_covar
-    var = jnp.stack([gvar, gvar], axis=-1)
-    pi = jnp.full(mu.shape, 0.5, jnp.float32)
+    # sklearn's kmeans init is a full M step on the hard cluster assignment:
+    # per-CLUSTER variances and mixing weights, not a shared global variance.
+    # A shared-variance init under-separates overlapping components (the
+    # responsibilities start near-uniform and the means collapse), which the
+    # sklearn co-run catches in the weak-bimodality regime
+    # (tests/test_gmm.py::test_fit_matches_sklearn_overlapping).
+    d0 = jnp.abs(x - mu[..., 0:1])
+    d1 = jnp.abs(x - mu[..., 1:2])
+    a1 = (d1 < d0).astype(x.dtype) * w
+    a0 = (1.0 - (d1 < d0).astype(x.dtype)) * w
+    n0 = jnp.maximum(jnp.sum(a0, axis=-1), 1e-12)
+    n1 = jnp.maximum(jnp.sum(a1, axis=-1), 1e-12)
+    v0 = jnp.sum(a0 * (x - mu[..., 0:1]) ** 2, axis=-1) / n0 + reg_covar
+    v1 = jnp.sum(a1 * (x - mu[..., 1:2]) ** 2, axis=-1) / n1 + reg_covar
+    var = jnp.stack([v0, v1], axis=-1)
+    pi = jnp.stack([n0, n1], axis=-1) / wsum[..., None]
 
     def em(_, state):
-        mu, var, pi = state
-        # E step: log responsibilities (..., N, 2)
+        mu, var, pi, prev_lb, done = state
+        # E step: joint log-densities (..., N, 2) + the mean log-likelihood
+        # sklearn's tol monitors (its `lower_bound_`)
         diff = x[..., None] - mu[..., None, :]
         logp = (
             -0.5 * (diff * diff) / var[..., None, :]
             - 0.5 * jnp.log(2.0 * jnp.pi * var[..., None, :])
             + jnp.log(jnp.maximum(pi[..., None, :], 1e-12))
         )
-        logp = logp - jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
-        resp = jnp.exp(logp) * w[..., None]
+        log_norm = jax.scipy.special.logsumexp(logp, axis=-1)  # (..., N)
+        lb = jnp.sum(w * log_norm, axis=-1) / wsum             # (...,)
+        resp = jnp.exp(logp - log_norm[..., None]) * w[..., None]
         # M step
         nk = jnp.sum(resp, axis=-2)  # (..., 2)
         nk_safe = jnp.maximum(nk, 1e-12)
@@ -90,9 +112,20 @@ def fit_gmm2(x: jax.Array, mask: jax.Array, *, num_iter: int = 10,
         d2 = (x[..., None] - mu_new[..., None, :]) ** 2
         var_new = jnp.sum(resp * d2, axis=-2) / nk_safe + reg_covar
         pi_new = nk / wsum[..., None]
-        return mu_new, var_new, pi_new
+        # freeze converged elements exactly where sklearn breaks: params
+        # keep this iteration's m-step, later iterations are no-ops
+        keep = done[..., None]
+        mu = jnp.where(keep, mu, mu_new)
+        var = jnp.where(keep, var, var_new)
+        pi = jnp.where(keep, pi, pi_new)
+        prev_lb_new = jnp.where(done, prev_lb, lb)
+        done = done | (jnp.abs(lb - prev_lb) < tol)
+        return mu, var, pi, prev_lb_new, done
 
-    mu, var, pi = jax.lax.fori_loop(0, num_iter, em, (mu, var, pi))
+    neg_inf = jnp.full(wsum.shape, -jnp.inf, jnp.float32)
+    not_done = jnp.zeros(wsum.shape, bool)
+    mu, var, pi, _, _ = jax.lax.fori_loop(
+        0, num_iter, em, (mu, var, pi, neg_inf, not_done))
     return GmmFit(mu, var, pi, count)
 
 

@@ -22,6 +22,36 @@ def test_fit_recovers_bimodal_components(rng):
     assert float(fit.count[0]) == 2000
 
 
+def test_fit_matches_sklearn_overlapping(rng):
+    """Weak-bimodality regime: two components whose supports overlap
+    substantially (means 0.6 / 1.6, sigmas 0.25 / 0.45).  A shared-variance
+    kmeans init under-separates here — the responsibilities start
+    near-uniform and the means collapse toward each other — while sklearn's
+    init (a full M step on the hard assignment: per-cluster variances AND
+    mixing weights, sklearn/mixture/_gaussian_mixture.py) keeps them apart.
+    fit_gmm2 mirrors that init; this pins the recovered parameters to
+    sklearn's on the same draw."""
+    from sklearn.mixture import GaussianMixture
+
+    lo = rng.normal(0.6, 0.25, size=1400)
+    hi = rng.normal(1.6, 0.45, size=600)
+    x = np.abs(np.concatenate([lo, hi])).astype(np.float32)[None]
+    mask = np.ones_like(x, bool)
+
+    fit = gmm_ops.fit_gmm2(jnp.asarray(x), jnp.asarray(mask))
+    means = np.sort(np.asarray(fit.means)[0])
+    weights = np.asarray(fit.weights)[0][np.argsort(np.asarray(fit.means)[0])]
+
+    sk = GaussianMixture(n_components=2, max_iter=10, tol=1e-2,
+                         reg_covar=5e-4, random_state=0).fit(x[0, :, None])
+    sk_order = np.argsort(sk.means_[:, 0])
+    sk_means = sk.means_[sk_order, 0]
+    sk_weights = sk.weights_[sk_order]
+
+    assert np.abs(means - sk_means).max() < 0.12, (means, sk_means)
+    assert np.abs(weights - sk_weights).max() < 0.08, (weights, sk_weights)
+
+
 def test_filter_marks_high_loss_pixels(rng):
     h = w = 48
     label = np.ones((1, h, w), np.int32)
