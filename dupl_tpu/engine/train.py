@@ -413,6 +413,35 @@ class Trainer:
         grads, metrics = self._grads_full(state, batch, weights)
         return self._apply_updates(state, grads), metrics
 
+    def full_phase_labels(self, params, batch, step):
+        """Parity/debug hook: the phase-3 pseudo-labels before and after GMM
+        noise filtering, exactly as :meth:`_grads_full`'s no-grad prelude
+        computes them — ``(refined, filtered)`` each (2, B, H, W).  The GMM
+        noise mask is ``(filtered == ignore) & (refined != ignore)``
+        (train_final_voc.py:358-394 marks fg pixels with p(noise) > gamma).
+        Used by the GMM-active co-training agreement test."""
+        cfg = self.cfg
+        inputs, inputs_denorm = image_ops.prepare_inputs(batch["image"])
+        cls_label, img_box = batch["cls_label"], batch["img_box"]
+        _, h, w, _ = inputs.shape
+        high_b = self._high_thresholds(jnp.asarray(step), cls_label)
+        cams, _, out = self._cams_with_grad_out(params, inputs)
+        refined = self._refine(cams, inputs_denorm, cls_label, img_box, high_b)
+        segs_up = image_ops.resize_bilinear(out.seg, (h, w), batch_dims=2)
+
+        def filter_branch(k):
+            ce = loss_ops.cross_entropy_map(segs_up[k], refined[k],
+                                            cfg.ignore_index)
+            return gmm_ops.gmm_filter_labels(
+                ce, refined[k], num_iter=cfg.gmm.num_iter,
+                reg_covar=cfg.gmm.reg_covar, loss_floor=cfg.gmm.loss_floor,
+                min_pixels=cfg.gmm.min_pixels, valid_thre=cfg.gmm.valid_thre,
+                gamma=cfg.gmm.gamma, ignore_index=cfg.ignore_index,
+            )
+
+        filtered = jnp.stack([filter_branch(0), filter_branch(1)])
+        return refined, filtered
+
     # ------------------------------------------------------------------ public
     def grad_step(self, state: TrainState, batch,
                   step: Optional[int] = None) -> Tuple[Any, Dict]:

@@ -725,7 +725,7 @@ def test_cotraining_trajectory(R):
 # (d4) COCO train step, all four phases (VERDICT r2 item 6)
 # ---------------------------------------------------------------------------
 
-def _torch_step_coco(R, net, batch, cfg, n_iter, with_grad=False):
+def _torch_step_coco(R, net, batch, cfg, n_iter, with_grad=False, optim=None):
     """The reference COCO train-step loss stack (train_final_coco.py:174-448)
     co-run on the reference's own helpers: 81 classes, the 8k-12k
     ``seg_static`` window (aux-CAM + refine_cams_with_bkg_v2, :312-321),
@@ -851,6 +851,7 @@ def _torch_step_coco(R, net, batch, cfg, n_iter, with_grad=False):
             reg = torch.zeros(())
         else:  # GMM filtering + consistency (:348-432)
             with torch.no_grad():
+                ref1_pre, ref2_pre = ref1.clone(), ref2.clone()
                 l1 = ce(su1.detach(), ref1.long())
                 l2 = ce(su2.detach(), ref2.long())
                 roi1 = (ref1 != 0) & (ref1 != 255)
@@ -913,14 +914,25 @@ def _torch_step_coco(R, net, batch, cfg, n_iter, with_grad=False):
     out = {"cls_loss": float(cls_loss), "ptc_loss": float(ptc),
            "seg_loss": float(seg), "sim_loss": float(sim),
            "reg_loss": float(reg)}
+    if n_iter >= cfg.gmm_iters:
+        # GMM noise masks per branch: the pixels the filter flipped to 255
+        # (their own refined labels before vs after the sklearn loop)
+        out["refined"] = np.stack([ref1_pre.numpy(), ref2_pre.numpy()])
+        out["noise_masks"] = np.stack([
+            ((ref1 == 255) & (ref1_pre != 255)).numpy(),
+            ((ref2 == 255) & (ref2_pre != 255)).numpy()])
     if with_grad:
         w = loss_weights(cfg, n_iter)
         total = (w.cls * cls_loss + w.ptc * ptc + w.seg * seg
                  + w.sim * sim + w.reg * reg)
         net.zero_grad(set_to_none=True)
+        if optim is not None:
+            optim.zero_grad(set_to_none=True)
         total.backward()
         out["grads"] = ref_oracle.convert_siamese_grads(net)
         out["total"] = float(total)
+        if optim is not None:
+            optim.step()
     return out
 
 
@@ -978,15 +990,21 @@ def test_coco_train_step_loss_parity(R, step):
             f"step {step} {key}: torch {ref_v:.6f} vs jax {jax_v:.6f}")
 
 
-def test_coco_gradient_parity_seg_static(R):
-    """Gradient-level parity through the COCO-unique seg_static path (aux-CAM
-    refinement + dynamic-cls PTC with clamped thresholds) — the one compute
-    branch the VOC gradient co-run never exercises."""
+@pytest.mark.parametrize("step", [9000, 20000, 40000])
+def test_coco_gradient_parity(R, step):
+    """Gradient-level parity through every COCO-unique compute branch at 81
+    classes (VERDICT r3 item 3): the 8k-12k seg_static path (aux-CAM
+    refinement + dynamic-cls PTC with clamped thresholds, step 9000), the
+    12k-32k seg path (main-CAM dynamic refinement, train_final_coco.py:
+    322-333, step 20000) and the >32k full path (consistency branch +
+    GMM-gated seg loss, :339-432, step 40000).  GMM is pinned OFF via an
+    unreachable min_pixels (both sides gate on it) so phase-gradient
+    comparison runs on identical noise masks; the GMM-active regime is
+    covered statistically by test_coco_gmm_cotraining_mask_agreement."""
     from dupl_tpu.config import GmmConfig
     import dataclasses
     from dupl_tpu.engine.train import Trainer, TrainState, loss_weights
 
-    step = 9000
     net, model, params = make_pair(R, num_classes=81, aux_layer=9, seed=23)
     cfg = dataclasses.replace(_coco_cfg(), gmm=GmmConfig(min_pixels=10**9))
     batch_np = rand_batch(b=2, size=64, num_fg=80, seed=24)
@@ -1008,7 +1026,107 @@ def test_coco_gradient_parity_seg_static(R):
                     + w.reg * metrics["reg_loss"])
     assert abs(j_total - t_out["total"]) <= 2e-3 * max(1.0, abs(t_out["total"]))
     _assert_tree_close(grads, t_out["grads"], rel=5e-3,
-                       skip=("pos_embed",), what="coco seg_static grad")
+                       skip=("pos_embed",), what=f"coco grad step={step}")
+
+
+@pytest.mark.slow
+def test_coco_gmm_cotraining_mask_agreement(R):
+    """5-step co-training stretch in the GMM-ACTIVE regime (VERDICT r3
+    item 3b): both sides actually train (torch PolyWarmupAdamW vs the jitted
+    full-phase step) from identical weights on identical batches, with the
+    noise filter firing — sklearn GaussianMixture(random_state=0,
+    train_final_coco.py:355-394) against the on-device masked EM.  Bitwise
+    mask parity is impossible (different EM trajectories); the bounds are
+    STATISTICAL, over the refined-foreground ROI, and measure two different
+    things: STEP 0 runs on bit-identical weights, so its >=99% is pure GMM
+    fidelity (fit_gmm2's sklearn-faithful tol freeze puts the fit params
+    within ~1e-3 of sklearn's — on identical CE data the masks overlap
+    99.9%).  Steps >=1 additionally carry k compounded INDEPENDENT optimizer
+    steps of fp divergence (grads match to 5e-3 rel; Adam amplifies), read
+    out at the gamma=0.95 posterior boundary, which in this fixture sits in
+    a dense CE region (overlapping modes at ~4.4/4.8, sigma 0.2 — real
+    step-32k CE distributions separate clean ~0.3 from noisy ~3.0 far more);
+    those steps are bounded at >=97% each and >=98.5% on aggregate, with the
+    refined labels >=99.5% and the losses tracking within 5% every step.
+
+    The GMM gates are loosened (min_pixels, valid_thre) on BOTH sides and
+    the decoders' output convs are scaled up so the CE map is BIMODAL like
+    the real step-32k regime (a random-init decoder yields CE ~= ln(81)
+    everywhere — a single collapsed mode the filter correctly ignores) —
+    a non-vacuity assert checks pixels were actually flipped."""
+    import dataclasses
+    from dupl_tpu.config import GmmConfig
+    from dupl_tpu.engine.train import Trainer, TrainState, loss_weights
+
+    from dupl_tpu.config import OptimConfig
+
+    net, model, params0 = make_pair(R, num_classes=81, aux_layer=9, seed=31)
+    with torch.no_grad():  # confident decoder -> clean/noisy CE separation
+        net.branch1.decoder.conv8.weight *= 40.0
+        net.branch2.decoder.conv8.weight *= 40.0
+    params0 = ref_oracle.convert_siamese_state(net)
+    # lr/10 on BOTH sides: the 40x decoder scaling that creates the bimodal
+    # CE also multiplies how fast independent-optimizer fp divergence moves
+    # the CE map; the recipe LR drifts the gamma-boundary band by step 4
+    # more than the agreement statistic can resolve.  The GMM mechanics
+    # under test are LR-independent.
+    cfg = dataclasses.replace(
+        _coco_cfg(), optim=OptimConfig(lr=6e-6),
+        gmm=GmmConfig(min_pixels=64, valid_thre=0.0))
+    optim = ref_oracle.make_poly_warmup_adamw(R, net, cfg.optim, cfg.max_iters)
+
+    trainer = Trainer(cfg, model=model)
+    x0 = rand_batch(b=2, size=64, num_fg=80, seed=200)[0]
+    state = trainer.init_state(jax.random.PRNGKey(0), jnp.asarray(x0)[:1])
+    params_dev = jax.tree.map(jnp.array, params0)
+    state = TrainState(params_dev, trainer.tx.init(params_dev), jnp.int32(0),
+                       state.rng)
+
+    step0 = cfg.gmm_iters  # the full phase begins here (:339)
+    flipped = 0
+    agrees = []
+    for k in range(5):
+        n_iter = step0 + k
+        batch_np = rand_batch(b=2, size=64, num_fg=80, seed=200 + k)
+        x, cls, box = batch_np
+        jbatch = {"image": jnp.asarray(x), "cls_label": jnp.asarray(cls),
+                  "img_box": jnp.asarray(box)}
+
+        # jax-side masks BEFORE the update (same params the step consumes)
+        refined_j, filtered_j = trainer.full_phase_labels(
+            state.params, jbatch, n_iter)
+        mask_j = np.asarray((filtered_j == 255) & (refined_j != 255))
+        refined_j = np.asarray(refined_j)
+
+        t_out = _torch_step_coco(R, net, batch_np, cfg, n_iter=n_iter,
+                                 with_grad=True, optim=optim)
+        state, metrics = trainer.train_step(state, jbatch, step=n_iter)
+
+        # the refined labels themselves are deterministic -> near-identical;
+        # the masks (EM-dependent) are compared over the shared fg ROI
+        roi = (t_out["refined"] != 0) & (t_out["refined"] != 255)
+        lbl_agree = (refined_j == t_out["refined"]).mean()
+        assert lbl_agree >= 0.995, f"step {k}: refined labels {lbl_agree:.4f}"
+        agree = (mask_j == t_out["noise_masks"])[roi].mean()
+        bound = 0.99 if k == 0 else 0.97  # see docstring
+        assert agree >= bound, f"step {k}: noise-mask agreement {agree:.4f}"
+        agrees.append(agree)
+        flipped += int(t_out["noise_masks"].sum())
+
+        w = loss_weights(cfg, n_iter)
+        j_total = float(w.cls * metrics["cls_loss"]
+                        + w.ptc * metrics["ptc_loss"]
+                        + w.seg * metrics["seg_loss"]
+                        + w.sim * metrics["sim_loss"]
+                        + w.reg * metrics["reg_loss"])
+        rel = abs(j_total - t_out["total"]) / max(1.0, abs(t_out["total"]))
+        assert rel < 0.05, f"step {k}: total rel {rel:.3f}"
+
+    assert flipped > 0, "GMM never fired — the stretch is vacuous"
+    mean_agree = float(np.mean(agrees))
+    assert mean_agree >= 0.985, f"stretch mean agreement {mean_agree:.4f}"
+    print("noise-mask agreement per step:",
+          " ".join(f"{a:.4f}" for a in agrees))
 
 
 # ---------------------------------------------------------------------------
