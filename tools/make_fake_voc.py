@@ -18,7 +18,7 @@ from PIL import Image
 
 
 def make_tree(out: str, n: int = 16, size: int = 96, num_fg: int = 20,
-              seed: int = 0) -> None:
+              seed: int = 0, style: str = "blob") -> None:
     img_dir = os.path.join(out, "JPEGImages")
     seg_dir = os.path.join(out, "SegmentationClassAug")
     lists = os.path.join(out, "lists")
@@ -30,17 +30,27 @@ def make_tree(out: str, n: int = 16, size: int = 96, num_fg: int = 20,
     for i in range(n):
         name = f"2007_{i:06d}"
         h = w = size
-        img = np.full((h, w, 3), rs.randint(0, 255, 3), np.uint8)
-        mask = np.zeros((h, w), np.uint8)
-        for _ in range(3):
-            cls = rs.randint(1, num_fg + 1)
-            y0, x0 = rs.randint(0, h // 2), rs.randint(0, w // 2)
-            y1 = y0 + rs.randint(h // 4, h // 2)
-            x1 = x0 + rs.randint(w // 4, w // 2)
-            img[y0:y1, x0:x1] = rs.randint(0, 255, 3)
-            mask[y0:y1, x0:x1] = cls
-        img = np.clip(img.astype(np.int16) + rs.randint(-6, 6, img.shape),
-                      0, 255).astype(np.uint8)
+        if style == "photo":
+            # natural-image statistics: 1/f textures + JPEG noise
+            # (dupl_tpu.data.pipeline.photo_scene; VERDICT r3 missing 5)
+            import sys
+            sys.path.insert(0, os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            from dupl_tpu.data.pipeline import photo_scene
+            img, m = photo_scene(rs, h, w, num_fg)
+            mask = m.astype(np.uint8)
+        else:
+            img = np.full((h, w, 3), rs.randint(0, 255, 3), np.uint8)
+            mask = np.zeros((h, w), np.uint8)
+            for _ in range(3):
+                cls = rs.randint(1, num_fg + 1)
+                y0, x0 = rs.randint(0, h // 2), rs.randint(0, w // 2)
+                y1 = y0 + rs.randint(h // 4, h // 2)
+                x1 = x0 + rs.randint(w // 4, w // 2)
+                img[y0:y1, x0:x1] = rs.randint(0, 255, 3)
+                mask[y0:y1, x0:x1] = cls
+            img = np.clip(img.astype(np.int16) + rs.randint(-6, 6, img.shape),
+                          0, 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(img_dir, name + ".jpg"))
         Image.fromarray(mask).save(os.path.join(seg_dir, name + ".png"))
         onehot = np.zeros(num_fg, np.uint8)
@@ -62,9 +72,14 @@ def main():
     p.add_argument("--n", type=int, default=16)
     p.add_argument("--size", type=int, default=96)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--style", default="blob", choices=["blob", "photo"],
+                   help="'photo' = natural-image statistics (1/f textures + "
+                        "JPEG roundtrip) instead of flat blobs")
     args = p.parse_args()
-    make_tree(args.out, n=args.n, size=args.size, seed=args.seed)
-    print(f"fake VOC tree at {args.out} ({args.n} images, {args.size}px)")
+    make_tree(args.out, n=args.n, size=args.size, seed=args.seed,
+              style=args.style)
+    print(f"fake VOC tree at {args.out} ({args.n} images, {args.size}px, "
+          f"{args.style})")
 
 
 if __name__ == "__main__":
