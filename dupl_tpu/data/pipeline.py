@@ -5,8 +5,10 @@ Replaces the reference's torch ``DataLoader(num_workers=10, prefetch_factor=4)``
 + ``DistributedSampler`` (train_final_voc.py:127-141).  Fixed shapes are a hard
 requirement on TPU (one XLA compilation per shape); the train crop is always
 ``crop_size`` so batches are naturally static.  Sharding across hosts is by
-strided name-list split, like the reference eval sharding
-(tools/eval_seg_coco_ddp.py:240-242).
+per-global-batch contiguous slices (see ``_epoch_order``), so the assembled
+global batch stream is invariant to the process count; the reference-style
+strided split lives in the eval path (engine/eval_seg.py, mirroring
+tools/eval_seg_coco_ddp.py:240-242) where order does not feed training.
 """
 
 from __future__ import annotations
@@ -83,8 +85,21 @@ class PrefetchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             order = np.random.RandomState(self.seed + epoch).permutation(len(order))
-        order = order[self.shard::self.num_shards]
-        if self.drop_last:
+        if self.num_shards > 1:
+            # Per-GLOBAL-batch contiguous slices, not an epoch-strided split:
+            # shard p's k-th batch is positions [p*B, (p+1)*B) of global batch
+            # k, so the assembled global batch (process shards concatenate in
+            # mesh/device order, parallel/mesh.py:shard_batch) is IDENTICAL to
+            # the batch a single-process run with batch_size = B*num_shards
+            # draws — the global batch stream is invariant to process count
+            # (torch's DistributedSampler strides the epoch instead, which
+            # permutes samples across ranks; test_multihost pins ours
+            # bitwise against the 1-process run).
+            gb = self.batch_size * self.num_shards
+            order = order[: (len(order) // gb) * gb]
+            order = order.reshape(-1, self.num_shards, self.batch_size)[
+                :, self.shard, :].reshape(-1)
+        elif self.drop_last:
             order = order[: (len(order) // self.batch_size) * self.batch_size]
         return order
 

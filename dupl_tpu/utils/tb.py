@@ -9,8 +9,10 @@ import numpy as np
 
 
 class TbWriter:
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir):
         self._w = None
+        if log_dir is None:  # non-primary multihost processes
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter  # type: ignore
             self._w = SummaryWriter(log_dir=log_dir)

@@ -118,23 +118,49 @@ def main():
     if args.multihost:
         # multi-host: every process sees its local devices; the mesh below is
         # built over jax.devices() (global) and batches shard by process via
-        # the loader's shard/num_shards split
-        jax.distributed.initialize()
+        # the loader's shard/num_shards split.  Cluster identity comes from
+        # auto-detection (TPU pod slice / SLURM / OMPI) or, when those are
+        # absent (e.g. the 2-process CPU integration test), from
+        # JAX_COORDINATOR_ADDRESS (read by jax itself) plus
+        # JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+        def _env_int(name):
+            v = os.environ.get(name)
+            return int(v) if v else None
+
+        jax.distributed.initialize(
+            num_processes=_env_int("JAX_NUM_PROCESSES"),
+            process_id=_env_int("JAX_PROCESS_ID"))
 
     cfg = build_config(args)
     list_folder = args.list_folder or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "datasets", args.dataset)
 
+    proc_idx = jax.process_index() if args.multihost else 0
+    n_proc = jax.process_count() if args.multihost else 1
+
     if args.resume:
         # resume in-place: --work-dir points at the previous run directory
         work_dir = args.work_dir
     else:
         stamp = "{0:%Y-%m-%d-%H-%M-%S}".format(datetime.datetime.now()) + args.comment
+        if n_proc > 1:
+            # every process must agree on the run directory (orbax saves are
+            # collective); broadcast process 0's timestamp
+            from jax.experimental import multihost_utils
+            pad = np.zeros(64, np.uint8)
+            raw = stamp.encode()[:64]
+            pad[:len(raw)] = np.frombuffer(raw, np.uint8)
+            pad = np.asarray(multihost_utils.broadcast_one_to_all(pad))
+            stamp = bytes(pad[pad != 0]).decode()
         work_dir = os.path.join(args.work_dir, stamp)
     ckpt_dir = os.path.join(work_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
-    log = setup_logger(os.path.join(work_dir, "train.log"))
+    # process 0 owns the log file / TB / weight exports / validation (the
+    # reference is rank-0-only there too, train_final_voc.py:512-536); other
+    # processes log to console only
+    log = setup_logger(os.path.join(work_dir, "train.log")
+                       if proc_idx == 0 else None)
     log.info("jax %s devices %s", jax.__version__, jax.devices())
     log.info("config: %s", json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 
@@ -173,9 +199,6 @@ def main():
     global_batch = cfg.samples_per_device * n_data
     log.info("mesh %s; global batch %d", dict(mesh.shape), global_batch)
 
-    proc_idx = jax.process_index() if args.multihost else 0
-    n_proc = jax.process_count() if args.multihost else 1
-
     # model/state --------------------------------------------------------
     trainer = Trainer(cfg)
     sample = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3), jnp.float32)
@@ -204,7 +227,7 @@ def main():
     t0 = datetime.datetime.now()
 
     from dupl_tpu.utils.tb import TbWriter, cam_overlay_grid, image_grid
-    tb = TbWriter(os.path.join(work_dir, "tb"))
+    tb = TbWriter(os.path.join(work_dir, "tb") if proc_idx == 0 else None)
     import time as _time
     step_t0 = _time.perf_counter()
 
@@ -275,21 +298,42 @@ def main():
                 tb.scalar("train/cls_f1", cls_score, step + 1)
                 tb.scalar("lr", lr, step + 1)
                 tb.scalar("perf/s_per_iter", dt, step + 1)
-                if tb.enabled:
+                if tb.enabled and n_proc == 1:
+                    # dev_batch is a GLOBAL array: recreating CAMs for the
+                    # grid from one process only would stall the others'
+                    # collective schedule, so grids are single-process-only
                     log_cam_grids(state, dev_batch, batch["cls_label"], step + 1)
 
             if (step + 1) % cfg.eval_iters == 0:
-                ckpt.save_state(ckpt_dir, state)
-                ckpt.export_weights(
-                    os.path.join(ckpt_dir, "weights.npz"), state.params)
-                log.info("validating at iter %d ...", step + 1)
-                res = validator.run(state.params, val_ds, log=log,
-                                    progress_every=200)
-                log.info("val cls F1: %.4f / %.4f", res["cls_f1_1"], res["cls_f1_2"])
-                log.info("\n%s", res["table"])
-                for k in ("cam_1", "cam_2", "cam_aux_1", "cam_aux_2",
-                          "seg_1", "seg_2"):
-                    tb.scalar(f"val/{k}_miou", res[f"{k}_miou"], step + 1)
+                ckpt.save_state(ckpt_dir, state)  # collective (all processes)
+                eval_params = state.params
+                if n_proc > 1 and not args.fsdp:
+                    # replicated params: process 0's local copy IS the global
+                    # state, but the Validator must not jit on arrays whose
+                    # sharding spans other processes' devices — pull to host
+                    eval_params = jax.tree.map(np.asarray, state.params)
+                if args.fsdp and n_proc > 1:
+                    # fsdp shards live on non-addressable devices; gather the
+                    # full params for export/validation (collective — every
+                    # process participates, only process 0 uses the result)
+                    from jax.experimental import multihost_utils
+                    eval_params = multihost_utils.process_allgather(
+                        state.params)
+                if proc_idx == 0:
+                    # rank-0-only export + validation, like the reference
+                    # (train_final_voc.py:512-536); params are replicated so
+                    # process 0's copy is the global state
+                    ckpt.export_weights(
+                        os.path.join(ckpt_dir, "weights.npz"), eval_params)
+                    log.info("validating at iter %d ...", step + 1)
+                    res = validator.run(eval_params, val_ds, log=log,
+                                        progress_every=200)
+                    log.info("val cls F1: %.4f / %.4f",
+                             res["cls_f1_1"], res["cls_f1_2"])
+                    log.info("\n%s", res["table"])
+                    for k in ("cam_1", "cam_2", "cam_aux_1", "cam_aux_2",
+                              "seg_1", "seg_2"):
+                        tb.scalar(f"val/{k}_miou", res[f"{k}_miou"], step + 1)
 
             step += 1
 
