@@ -59,6 +59,14 @@ def probe_platform(timeout_s: float = 120.0, attempts: int = 3) -> str:
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--style", default="blob", choices=["blob", "photo"],
+                    help="synthetic scene statistics: 'photo' = 1/f textures "
+                         "+ JPEG noise (the quality-coupled arm in "
+                         "BENCHMARKS.md); the driver's headline is 'blob'")
+    bench_args = ap.parse_args()
+
     platform = probe_platform()
     on_device = platform not in ("cpu",)
     if not on_device:
@@ -99,7 +107,7 @@ def main():
     # after the round-2 kernel set: 25.5 img/s at batch 32 vs 27.07 at 16 —
     # the scale-1.5 activations of the larger batch pressure HBM)
     batch_size = 16
-    batch = synthetic_batch(batch_size, crop=448)
+    batch = synthetic_batch(batch_size, crop=448, style=bench_args.style)
     inputs = jnp.asarray(batch["image"])
     cls_label = jnp.asarray(batch["cls_label"])
     img_box = jnp.asarray(batch["img_box"])
@@ -151,6 +159,12 @@ def main():
     # warmup/compile
     sync(cam_par_pipeline(params, inputs, cls_label, img_box))
 
+    # analytic FLOPs of the exact compiled program (XLA cost model), for the
+    # MFU line — measured AFTER warmup so the lowering is cache-hot
+    from dupl_tpu.utils import flops as flops_utils
+    flops_per_call = flops_utils.compiled_flops(
+        cam_par_pipeline, params, inputs, cls_label, img_box)
+
     # steady-state throughput: enqueue every iteration, then sync once —
     # device execution is in-order, so syncing the last result is a barrier
     # for all of them; per-dispatch relay latency (~30 ms) overlaps compute
@@ -163,12 +177,20 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_s = batch_size * iters / dt
-    print(json.dumps({
-        "metric": "cam_par_crf_inference_voc_vitb",
+    util = flops_utils.mfu(flops_per_call, iters, dt, jax.devices()[0])
+    line = {
+        "metric": "cam_par_crf_inference_voc_vitb"
+                  + ("_photo" if bench_args.style == "photo" else ""),
         "value": round(img_per_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 2),
-    }))
+    }
+    if util is not None:
+        # measured roofline claim (BENCHMARKS.md): analytic FLOPs from the
+        # XLA cost model / wall clock / chip bf16 peak
+        line["mfu"] = round(util, 4)
+        line["tflops_per_img"] = round(flops_per_call / 1e12 / batch_size, 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -62,6 +62,14 @@ def main():
     def sync(x):
         return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
+    # analytic FLOPs of the compiled phase step (XLA cost model) for the MFU
+    # line — from the same jitted callable the loop dispatches
+    from dupl_tpu.engine.train import loss_weights, phase_of
+    from dupl_tpu.utils import flops as flops_utils
+    step_fn = trainer.step_fn(phase_of(cfg, step0))
+    w0 = jnp.asarray(loss_weights(cfg, step0), jnp.float32)
+    flops_per_step = flops_utils.compiled_flops(step_fn, state, dev_batch, w0)
+
     t0 = time.perf_counter()
     state, metrics = trainer.train_step(state, dev_batch)
     sync(metrics)
@@ -73,9 +81,12 @@ def main():
         state, metrics = trainer.train_step(state, dev_batch)
         sync(metrics)
         best = min(best, time.perf_counter() - t0)
+    util = flops_utils.mfu(flops_per_step, 1, best, jax.devices()[0])
+    mfu_txt = ("" if util is None else
+               f" mfu={util:.3f} ({flops_per_step / 1e12 / b:.2f} TF/img)")
     print(f"phase={args.phase} batch={b}: {best*1e3:.1f} ms/it = "
           f"{1/best:.2f} it/s = {b/best:.2f} img/s "
-          f"({b/best/2.7:.2f}x reference train img/s)")
+          f"({b/best/2.7:.2f}x reference train img/s){mfu_txt}")
 
 
 if __name__ == "__main__":
