@@ -29,9 +29,11 @@ def main():
     p.add_argument("--infer-set", default=None, help="val / test / val_part")
     p.add_argument("--out-dir", default=None)
     p.add_argument("--crf", choices=["device", "native", "none"], default="device")
-    p.add_argument("--input-mode", choices=["fixed", "native"], default="fixed",
+    p.add_argument("--input-mode", choices=["fixed", "native"], default=None,
                    help="'native' evaluates at original image resolution "
-                        "(reference VOC eval semantics; compiles per shape)")
+                        "(reference VOC eval semantics; compiles per shape). "
+                        "Default: native for VOC, fixed for COCO — each "
+                        "reference driver's own protocol")
     p.add_argument("--transfer-dtype", default="uint8",
                    choices=["uint8", "float32"],
                    help="image wire format: uint8 ships raw pixels at 1/4 "
@@ -54,7 +56,7 @@ def main():
 
     from dupl_tpu.config import voc_config, coco_config
     from dupl_tpu.engine import checkpoint as ckpt
-    from dupl_tpu.engine.eval_seg import SegEvaluator
+    from dupl_tpu.engine.eval_seg import SegEvaluator, resolve_input_mode
     from dupl_tpu.engine.train import Trainer
     from dupl_tpu.utils.logging import setup_logger
     from dupl_tpu.utils.metrics import format_score_table
@@ -63,6 +65,7 @@ def main():
     import dataclasses as dc
 
     log = setup_logger()
+    args.input_mode = resolve_input_mode(args.dataset, args.input_mode, log)
     cfg = voc_config() if args.dataset == "voc" else coco_config()
     if args.backbone:
         cfg = dc.replace(cfg, model=dc.replace(cfg.model, backbone=args.backbone))
