@@ -1,6 +1,13 @@
 """Golden trajectory: a deterministic tiny-model run reproduces its recorded
 loss curve (the reference's analogue is its committed train logs,
-SURVEY.md §4).  Guards the method's numerics across refactors.
+SURVEY.md §4).
+
+NOTE: this is a DRIFT DETECTOR, not parity evidence — it compares the repo
+against its own recorded outputs (self-referential by construction).  The
+reference-anchored evidence lives in tests/test_reference_parity.py (loss /
+gradient / update / trajectory / validator / offline-protocol co-runs
+against the live torch reference); see PARITY.md's verification ladder.
+Guards the method's numerics across refactors.
 
 Regenerate after an *intentional* semantic change with:
     python tests/test_golden_trajectory.py
