@@ -361,3 +361,62 @@ def test_coco_offline_eval_protocol_corun(tmp_path):
         agree += (pred == t_crf[s["name"]]).sum()
         total += pred.size
     assert agree / total >= 0.995, f"CRF label agreement {agree / total:.4f}"
+
+
+def test_coco_intraining_validator_protocol_corun(monkeypatch):
+    """COCO in-training validator co-run: :class:`Validator` at 81 classes vs
+    the reference's own ``validate_siamase_coco``
+    (utils/train_helper.py:188-283) on identical weights and the same
+    synthetic seg set.  The COCO variant differs from VOC only in class
+    count/list and per-branch interleaved accumulation — this pins the repo's
+    single implementation to BOTH reference functions (the VOC twin is
+    test_intraining_validator_protocol_corun)."""
+    import types as _types
+
+    from dupl_tpu.config import DataConfig, ModelConfig, coco_config
+    from dupl_tpu.engine.validate import Validator
+
+    R = ref_oracle.load_reference()
+    th = ref_oracle.load_train_helper()
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    nc = 81
+    net, model, params = make_pair(R, num_classes=nc, seed=8)
+    cfg = coco_config(model=ModelConfig(backbone=TINY_JAX, num_classes=nc,
+                                        aux_layer=-3,
+                                        compute_dtype="float32"),
+                      data=DataConfig(crop_size=64))
+    ds = BlobSegDataset(n=4, num_classes=nc, seed=14)
+    samples = [ds[i] for i in range(len(ds))]
+
+    loader = [(s["name"], ref_oracle.nchw(s["image"][None]),
+               torch.tensor(s["label"][None].astype(np.int64)),
+               torch.tensor(s["cls_label"][None]))
+              for s in samples]
+    args = _types.SimpleNamespace(
+        crop_size=cfg.data.crop_size, cam_scales=cfg.cam_scales,
+        bkg_thre=cfg.bkg_thre, high_thre=cfg.high_thre,
+        low_thre=cfg.low_thre, ignore_index=255)
+    captured = {}
+    real_format_tabs = th.format_tabs
+
+    def spy_format_tabs(scores, name_list, cat_list=None, return_item=False):
+        captured["scores"] = scores
+        return real_format_tabs(scores, name_list, cat_list=cat_list,
+                                return_item=return_item)
+
+    monkeypatch.setattr(th, "format_tabs", spy_format_tabs)
+    f1_1, f1_2, _, _ = th.validate_siamase_coco(
+        model=net, data_loader=loader, args=args, return_item=True)
+    t_cam1, t_aux1, t_seg1, t_cam2, t_aux2, t_seg2 = [
+        s["miou"] for s in captured["scores"]]
+
+    res = Validator(cfg, model).run(params, ds, batch_size=2)
+
+    for key, want in [("cam_1_miou", t_cam1), ("cam_aux_1_miou", t_aux1),
+                      ("seg_1_miou", t_seg1), ("cam_2_miou", t_cam2),
+                      ("cam_aux_2_miou", t_aux2), ("seg_2_miou", t_seg2)]:
+        assert abs(res[key] - want) < 1e-3, (key, res[key], want)
+    assert abs(res["cls_f1_1"] - f1_1) < 1e-6
+    assert abs(res["cls_f1_2"] - f1_2) < 1e-6

@@ -1129,6 +1129,64 @@ def test_coco_gmm_cotraining_mask_agreement(R):
           " ".join(f"{a:.4f}" for a in agrees))
 
 
+@pytest.mark.parametrize("step", [9000, 20000, 40000])
+def test_coco_update_parity(R, step):
+    """Three consecutive optimizer updates per COCO phase branch: the
+    reference PolyWarmupAdamW over the 80k-iter COCO schedule
+    (train_final_coco.py uses the same utils/optimizer.py:51-68 rule and
+    group multipliers as VOC, with COCO's lr/max_iters) vs the optax chain,
+    driven by IDENTICAL (bridged torch) gradients each step so the update
+    rule is isolated from fp32 gradient noise — the COCO counterpart of
+    test_update_parity, completing the COCO rung of the verification ladder
+    (loss -> grads -> updates)."""
+    import dataclasses
+    import optax
+    from dupl_tpu.config import GmmConfig
+    from dupl_tpu.engine.train import Trainer, phase_of
+
+    net, model, params0 = make_pair(R, num_classes=81, aux_layer=9, seed=29)
+    cfg = dataclasses.replace(_coco_cfg(), gmm=GmmConfig(min_pixels=10**9))
+    optim = ref_oracle.make_poly_warmup_adamw(R, net, cfg.optim, cfg.max_iters)
+
+    trainer = Trainer(cfg, model=model)
+    x0 = rand_batch(b=2, size=64, num_fg=80, seed=40)[0]
+    trainer.init_state(jax.random.PRNGKey(0), jnp.asarray(x0)[:1])
+    params = params0
+    opt_state = trainer.tx.init(params)
+    # Fast-forward BOTH schedules to the phase step (a fresh optimizer sits
+    # at global_step 0, i.e. warmup lr ~= lr*1e-6 — updates there are
+    # denormal-scale dust).  Per-param Adam counts (bias correction) start
+    # at 0 on both sides, exactly like a mid-run phase entry for leaves the
+    # previous phase never touched.
+    optim.global_step = step
+    opt_state = opt_state._replace(step=jnp.int32(step))
+    p_init = _flat_with_paths(params0)
+
+    for k in range(3):
+        batch_np = rand_batch(b=2, size=64, num_fg=80, seed=50 + k)
+        t_out = _torch_step_coco(R, net, batch_np, cfg, n_iter=step + k,
+                                 with_grad=True, optim=optim)
+
+        tx = (trainer.tx_warmup if phase_of(cfg, step + k) == "warmup"
+              else trainer.tx)
+        updates, opt_state = tx.update(t_out["grads"], opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        t_params = _flat_with_paths(ref_oracle.convert_siamese_state(net))
+        j_params = _flat_with_paths(params)
+        gscale = max(np.abs(t_params[key] - p_init[key]).max()
+                     for key in t_params)
+        assert gscale > 0, "updates vanished — test is vacuous"
+        for key in sorted(j_params):
+            dj = j_params[key] - p_init[key]
+            dt = t_params[key] - p_init[key]
+            scale = max(np.abs(dt).max(), 1e-3 * gscale)
+            np.testing.assert_allclose(
+                dj, dt, atol=5e-3 * scale, rtol=0,
+                err_msg=f"coco update {k + 1} @ step {step + k} leaf {key} "
+                        f"(update scale {scale:.3e})")
+
+
 # ---------------------------------------------------------------------------
 # (e) eval multi-scale merge
 # ---------------------------------------------------------------------------
