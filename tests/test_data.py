@@ -230,3 +230,71 @@ def test_device_feeder_error_propagates():
     with pytest.raises(RuntimeError):
         for _ in iter(feeder):
             pass
+
+
+# ---------------------------------------------------------------------------
+# COCO datasets (data/coco.py; reference datasets/coco.py:61-109)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fake_coco(tmp_path_factory):
+    """MS-COCO-2014-layout tree via tools/make_fake_coco.py: images split
+    across train2014/val2014 by name prefix, masks under a sibling
+    SegmentationClass/, one GRAYSCALE val jpeg (the robust-read path)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.make_fake_coco import make_tree
+
+    out = tmp_path_factory.mktemp("coco")
+    root = make_tree(str(out), n_train=6, n_val=3, size=64, num_fg=80)
+    return root, str(out / "lists")
+
+
+def test_coco_cls_dataset(fake_coco):
+    from dupl_tpu.data.coco import CocoClsDataset
+
+    root, lists = fake_coco
+    ds = CocoClsDataset(root, lists, "train", crop_size=64)
+    assert len(ds) == 6
+    s = ds.__getitem__(0, seed=5)
+    assert s["name"].startswith("COCO_train2014_")  # routed by prefix
+    assert s["image"].shape == (64, 64, 3)
+    assert s["cls_label"].shape == (80,)
+    # the shipped label table and the mask-derived fallback must agree
+    # (tools/gen_cls_labels.py regenerates the stripped reference table
+    # from the masks — this is that equivalence on the fake tree)
+    fallback = CocoClsDataset(root, lists, "train", crop_size=64)
+    fallback.label_list = None
+    for i in range(len(ds)):
+        a = ds.__getitem__(i, seed=1)["cls_label"]
+        b = fallback.__getitem__(i, seed=1)["cls_label"]
+        np.testing.assert_array_equal(a, b)
+
+
+def test_coco_seg_dataset_and_grayscale_read(fake_coco):
+    from dupl_tpu.data.coco import CocoSegDataset
+
+    root, lists = fake_coco
+    ds = CocoSegDataset(root, lists, "val_part")
+    assert len(ds) == 3
+    s = ds[0]  # the grayscale jpeg (make_fake_coco writes val image 0 as L)
+    assert s["name"].startswith("COCO_val2014_")
+    assert s["raw_image"].ndim == 3 and s["raw_image"].shape[2] == 3
+    # grayscale promoted to 3 identical channels (coco.py robust_read_image)
+    np.testing.assert_array_equal(s["raw_image"][..., 0],
+                                  s["raw_image"][..., 1])
+    assert s["label"].shape == s["raw_image"].shape[:2]
+    assert s["cls_label"].shape == (80,)
+    # uint8 wire format passes raw pixels through
+    ds8 = CocoSegDataset(root, lists, "val_part", transfer_dtype="uint8")
+    np.testing.assert_array_equal(ds8[1]["image"], ds8[1]["raw_image"])
+
+
+def test_coco_image_size_header_probe(fake_coco):
+    from dupl_tpu.data.coco import CocoSegDataset
+
+    root, lists = fake_coco
+    ds = CocoSegDataset(root, lists, "val_part")
+    for i in range(len(ds)):
+        assert ds.image_size(i) == ds[i]["raw_image"].shape[:2]
