@@ -18,6 +18,8 @@ import jax
 
 
 def main():
+    from dupl_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     from dupl_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     p = argparse.ArgumentParser()

@@ -25,6 +25,8 @@ def jet_overlay(image: np.ndarray, cam_max: np.ndarray) -> np.ndarray:
 
 
 def main():
+    from dupl_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser()
     p.add_argument("--data-folder", required=True)
     p.add_argument("--list-folder", default=None)

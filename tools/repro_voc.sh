@@ -35,8 +35,12 @@ while [[ $# -gt 0 ]]; do
 done
 
 if [[ "$DRY_RUN" == 1 ]]; then
-  # CPU + small virtual mesh keeps the dry run hardware-independent
-  export JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}"
+  # CPU + small virtual mesh keeps the dry run hardware-independent.
+  # HARD-force it: the ambient env may carry JAX_PLATFORMS=axon plus a
+  # sitecustomize that programmatically selects a remote TPU relay — a
+  # ":-cpu" default would keep the relay and can hang the smoke run
+  export JAX_PLATFORMS=cpu
+  unset PALLAS_AXON_POOL_IPS || true
   WORK_DIR="${TMPDIR:-/tmp}/repro_voc_dry"
   rm -rf "$WORK_DIR"; mkdir -p "$WORK_DIR"
   DATA_FOLDER="$WORK_DIR/fake_voc"

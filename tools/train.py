@@ -71,6 +71,11 @@ def parse_args():
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--cam-iters", type=int, default=None)
     p.add_argument("--gmm-iters", type=int, default=None)
+    p.add_argument("--refine-switch-iters", type=int, default=None,
+                   help="COCO aux->main refine-source switch boundary "
+                        "(train_final_coco.py:312-333; default: recipe "
+                        "value 12000 — override for smoke runs so a tiny "
+                        "run crosses all four phases)")
     p.add_argument("--cam-stream-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="residual-stream dtype for the no-grad CAM pass "
@@ -87,7 +92,7 @@ def build_config(args):
 
     over = {"seed": args.seed}
     for name in ("max_iters", "samples_per_device", "eval_iters", "log_iters",
-                 "cam_iters", "gmm_iters"):
+                 "cam_iters", "gmm_iters", "refine_switch_iters"):
         v = getattr(args, name)
         if v is not None:
             over[name] = v
@@ -103,6 +108,8 @@ def build_config(args):
 
 
 def main():
+    from dupl_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     from dupl_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     args = parse_args()
