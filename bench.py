@@ -26,14 +26,21 @@ import time
 
 REFERENCE_IMG_PER_S = 2.6
 
-_PROBE_SRC = "import jax; print('PLATFORM=' + jax.devices()[0].platform)"
+# The probe must EXECUTE a computation and pull it to host, not just list
+# devices: a half-dead relay (tunnel daemon gone, plugin .so still loaded)
+# happily reports "TPU v5 lite0" from jax.devices() and then hangs forever at
+# the first array materialisation (observed round 4).
+_PROBE_SRC = ("import jax, jax.numpy as jnp, numpy as np; "
+              "x = jnp.ones((8, 128)); "
+              "v = float(np.asarray(x @ x.T)[0, 0]); "
+              "print('PLATFORM=' + jax.devices()[0].platform)")
 
 
 def probe_platform(timeout_s: float = 120.0, attempts: int = 3) -> str:
-    """Ask a subprocess which backend is actually reachable.
+    """Ask a subprocess which backend is actually reachable AND executing.
 
     Returns the platform name ('tpu'/'axon'/...) or 'cpu' if the ambient
-    backend is unreachable within the timeout."""
+    backend is unreachable — or wedged mid-execution — within the timeout."""
     # Probe with the SAME environment the measurement process will use
     # (stripping JAX_PLATFORMS here could report 'tpu' while the parent, with
     # the variable still set, initialises a different backend).
