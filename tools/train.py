@@ -322,10 +322,14 @@ def main():
                 if args.fsdp and n_proc > 1:
                     # fsdp shards live on non-addressable devices; gather the
                     # full params for export/validation (collective — every
-                    # process participates, only process 0 uses the result)
+                    # process participates, only process 0 uses the result).
+                    # tiled=True is REQUIRED for non-fully-addressable inputs
+                    # and returns the assembled GLOBAL value per leaf (no
+                    # stacked process dim) — tested end-to-end by
+                    # tests/test_multihost.py::test_multihost_fsdp_matches_single
                     from jax.experimental import multihost_utils
                     eval_params = multihost_utils.process_allgather(
-                        state.params)
+                        state.params, tiled=True)
                 if proc_idx == 0:
                     # rank-0-only export + validation, like the reference
                     # (train_final_voc.py:512-536); params are replicated so
