@@ -1,1 +1,2 @@
-from dupl_tpu.engine import checkpoint, eval_seg, optimizer, train, validate  # noqa: F401
+from dupl_tpu.engine import (checkpoint, eval_seg, export, optimizer, serve,  # noqa: F401
+                             train, validate)

@@ -1,0 +1,243 @@
+"""Batched segmentation serving: micro-batching queue + stdlib HTTP front.
+
+The deployable complement to ``engine/export.py``: load a ``.duplsrv``
+artifact (or live weights) and serve ``POST /v1/segment`` requests.  Requests
+are decoded on worker threads, micro-batched up to the program's compiled
+batch size (a bounded-delay batcher — the standard accelerator-serving
+pattern: one device program in flight, arrivals within ``max_delay_s`` ride
+the same dispatch), and answered as an indexed-palette PNG or a raw ``.npy``
+label map at the request's native resolution.
+
+No framework dependencies beyond the stdlib + PIL: the device program is the
+sealed artifact, so this module never imports model code when serving from a
+file.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from dupl_tpu.utils import colormap
+
+
+class InferenceSession:
+    """Wraps the compiled serving program behind a plain
+    ``list[np.ndarray HxWx3 uint8] -> list[np.ndarray HxW uint8]`` call.
+
+    Host-side contract handling: per-image PIL bilinear resize to the
+    program's square crop, zero-pad the batch to the compiled batch size,
+    nearest-resize each label map back to its native resolution (labels are
+    categorical — nearest is the only sane interpolation)."""
+
+    def __init__(self, run_batch: Callable[[np.ndarray], np.ndarray], *,
+                 batch_size: int, crop_size: int, num_classes: int,
+                 meta: Optional[dict] = None):
+        self._run = run_batch
+        self.batch_size = batch_size
+        self.crop_size = crop_size
+        self.num_classes = num_classes
+        self.meta = dict(meta or {})
+
+    # -- constructors ----------------------------------------------------------
+    @classmethod
+    def from_artifact(cls, path: str) -> "InferenceSession":
+        from dupl_tpu.engine.export import load_artifact
+
+        exp, meta = load_artifact(path)
+        if not meta.get("bake_params", True):
+            raise ValueError(
+                f"{path} was exported with bake_params=False (a (params, "
+                "images) signature); serve it with from_exported(exp, params)")
+        import jax
+
+        call = jax.jit(exp.call)
+        return cls(lambda imgs: np.asarray(call(imgs)),
+                   batch_size=meta["batch_size"], crop_size=meta["crop_size"],
+                   num_classes=meta["num_classes"], meta=meta)
+
+    @classmethod
+    def from_weights(cls, cfg, weights_path: str, *, batch_size: int = 8,
+                     scales: Sequence[float] = (1.0, 1.5, 1.25),
+                     merge: str = "max", branch="ensemble",
+                     crf: bool = True) -> "InferenceSession":
+        """Live mode: jit the serving fn directly from a weights ``.npz``
+        (no artifact file; same program the exporter seals)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dupl_tpu.engine import checkpoint as ckpt
+        from dupl_tpu.engine.export import make_serving_fn
+        from dupl_tpu.models.network import DualStudent
+
+        model = DualStudent(cfg.model)
+        sample = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3),
+                           jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), sample)
+        params = ckpt.load_weights(weights_path, template)
+        fn = jax.jit(make_serving_fn(cfg, model, scales=scales, merge=merge,
+                                     branch=branch, crf=crf))
+        meta = {"branch": branch, "crf": crf, "scales": list(scales),
+                "merge": merge, "live": True}
+        return cls(lambda imgs: np.asarray(fn(params, imgs)),
+                   batch_size=batch_size, crop_size=cfg.data.crop_size,
+                   num_classes=cfg.num_classes, meta=meta)
+
+    # -- inference -------------------------------------------------------------
+    def predict(self, images: List[np.ndarray]) -> List[np.ndarray]:
+        if len(images) > self.batch_size:
+            out: List[np.ndarray] = []
+            for lo in range(0, len(images), self.batch_size):
+                out.extend(self.predict(images[lo:lo + self.batch_size]))
+            return out
+        from PIL import Image
+
+        s = self.crop_size
+        batch = np.zeros((self.batch_size, s, s, 3), np.uint8)
+        for i, img in enumerate(images):
+            if img.ndim != 3 or img.shape[-1] != 3 or img.dtype != np.uint8:
+                raise ValueError(
+                    f"image {i}: want HxWx3 uint8, got {img.shape} {img.dtype}")
+            batch[i] = np.asarray(
+                Image.fromarray(img).resize((s, s), Image.BILINEAR))
+        labels = self._run(batch)
+        out = []
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            lab = Image.fromarray(labels[i]).resize((w, h), Image.NEAREST)
+            out.append(np.asarray(lab, np.uint8))
+        return out
+
+
+class Batcher:
+    """Bounded-delay micro-batching: requests enqueue individually; one worker
+    drains up to ``session.batch_size`` of them per device dispatch, waiting
+    at most ``max_delay_s`` after the first arrival for co-riders."""
+
+    def __init__(self, session: InferenceSession, max_delay_s: float = 0.01):
+        self.session = session
+        self.max_delay_s = max_delay_s
+        self._q: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._stop = threading.Event()
+        self._worker.start()
+
+    def submit(self, image: np.ndarray) -> "Future[np.ndarray]":
+        fut: "Future[np.ndarray]" = Future()
+        self._q.put((image, fut))
+        return fut
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            first = self._q.get()
+            if first is None:
+                continue
+            items = [first]
+            deadline = time.monotonic() + self.max_delay_s
+            while len(items) < self.session.batch_size:
+                try:
+                    nxt = self._q.get(
+                        timeout=max(0.0, deadline - time.monotonic()))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                items.append(nxt)
+            try:
+                preds = self.session.predict([im for im, _ in items])
+                for (_, fut), pred in zip(items, preds):
+                    fut.set_result(pred)
+            except Exception as exc:  # propagate to every waiter
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+
+def _decode_image(body: bytes, content_type: str) -> np.ndarray:
+    if content_type == "application/x-npy":
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        return np.asarray(arr, np.uint8)
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+
+
+def _encode_png(label: np.ndarray) -> bytes:
+    from PIL import Image
+
+    img = Image.fromarray(label.astype(np.uint8), mode="P")
+    img.putpalette(colormap.voc_colormap().reshape(-1).tolist())
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
+                     port: int = 0) -> ThreadingHTTPServer:
+    """HTTP front: ``GET /healthz`` -> metadata JSON; ``POST /v1/segment``
+    (image/png, image/jpeg or application/x-npy body) -> indexed-palette PNG,
+    or the raw uint8 label map as ``.npy`` under ``Accept: application/x-npy``.
+    Returns the (not yet serving) ThreadingHTTPServer; callers drive
+    ``serve_forever`` on their own thread."""
+    session = batcher.session
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default; fronting logs belong
+            pass                    # to the deployment, not the framework
+
+        def _json(self, code: int, obj: dict) -> None:
+            blob = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "batch_size": session.batch_size,
+                                 "crop_size": session.crop_size,
+                                 "num_classes": session.num_classes,
+                                 **session.meta})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/v1/segment":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                img = _decode_image(self.rfile.read(n),
+                                    self.headers.get("Content-Type", ""))
+                pred = batcher.submit(img).result(timeout=300)
+            except Exception as exc:
+                self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            if self.headers.get("Accept") == "application/x-npy":
+                buf = io.BytesIO()
+                np.save(buf, pred)
+                blob, ctype = buf.getvalue(), "application/x-npy"
+            else:
+                blob, ctype = _encode_png(pred), "image/png"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -73,9 +73,11 @@ def _flash_block_q(n_padded: int) -> int:
     return 128
 
 
-@functools.lru_cache(maxsize=None)
 def _use_flash_backend() -> bool:
-    return jax.default_backend() == "tpu"
+    # trace-time gate; kernel_platform() honors the cross-platform-export
+    # override (utils/platform.py:force_kernel_platform)
+    from dupl_tpu.utils.platform import kernel_platform
+    return kernel_platform() == "tpu"
 
 
 def _exp_attention_ref(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

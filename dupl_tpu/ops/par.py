@@ -132,9 +132,6 @@ def propagate(
     return jax.lax.fori_loop(0, num_iter, body, masks)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("dilations", "num_iter", "w1", "w2",
-                              "use_pallas", "compute_dtype"))
 def par_refine(
     imgs: jax.Array,
     masks: jax.Array,
@@ -150,9 +147,32 @@ def par_refine(
 
     On TPU the propagation runs as the Pallas kernel
     (``dupl_tpu.ops.par_pallas``); elsewhere (and under ``use_pallas=False``)
-    the XLA formulation is used — both are exact to each other."""
+    the XLA formulation is used — both are exact to each other.
+
+    ``use_pallas=None`` resolves against the kernel platform HERE, outside
+    the jit boundary: the inner jit caches on the resolved boolean, so a
+    ``force_kernel_platform`` export override can never be served a stale
+    trace recorded under the other backend."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from dupl_tpu.utils.platform import kernel_platform
+        use_pallas = kernel_platform() == "tpu"
+    return _par_refine(imgs, masks, tuple(dilations), num_iter, w1, w2,
+                       use_pallas, compute_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilations", "num_iter", "w1", "w2",
+                              "use_pallas", "compute_dtype"))
+def _par_refine(
+    imgs: jax.Array,
+    masks: jax.Array,
+    dilations: Sequence[int],
+    num_iter: int,
+    w1: float,
+    w2: float,
+    use_pallas: bool,
+    compute_dtype: str,
+) -> jax.Array:
     if use_pallas:
         from dupl_tpu.ops.par_pallas import affinity_pallas, propagate_pallas
         aff = affinity_pallas(imgs, tuple(dilations), w1, w2,

@@ -14,7 +14,38 @@ when the env var is unset or already agrees with the config.
 
 from __future__ import annotations
 
+import contextlib
 import os
+
+_kernel_platform_override = None
+
+
+def kernel_platform() -> str:
+    """Platform the compute kernels should lower for.
+
+    Normally the ambient jax backend; :func:`force_kernel_platform` overrides
+    it for cross-platform AOT export (``engine/export.py`` lowering the TPU
+    Pallas kernels from a CPU host).  Trace-time only — reading it inside a
+    jitted function pins the decision into that trace, exactly like the
+    ``jax.default_backend()`` gates it generalises."""
+    if _kernel_platform_override is not None:
+        return _kernel_platform_override
+    import jax
+
+    return jax.default_backend()
+
+
+@contextlib.contextmanager
+def force_kernel_platform(platform: str):
+    """Within the context, kernel dispatch gates (Pallas attention/PAR) see
+    ``platform`` instead of the ambient backend."""
+    global _kernel_platform_override
+    prev = _kernel_platform_override
+    _kernel_platform_override = platform
+    try:
+        yield
+    finally:
+        _kernel_platform_override = prev
 
 
 def honor_jax_platforms_env() -> None:

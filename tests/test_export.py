@@ -1,0 +1,179 @@
+"""AOT serving export (engine/export.py): roundtrip fidelity, artifact
+format, cross-platform TPU lowering from the CPU test host."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dupl_tpu.config import ModelConfig, DataConfig, voc_config
+from dupl_tpu.engine import checkpoint as ckpt
+from dupl_tpu.engine.export import (export_from_config, export_serving,
+                                    load_artifact, make_serving_fn,
+                                    save_artifact)
+from dupl_tpu.models.network import DualStudent
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = voc_config(
+        model=ModelConfig(backbone="test_tiny_patch16",
+                          compute_dtype="float32"),
+        data=DataConfig(crop_size=64),
+    )
+    model = DualStudent(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    return cfg, model, params, images
+
+
+def test_export_roundtrip_matches_direct_call(tiny, tmp_path):
+    cfg, model, params, images = tiny
+    fn = make_serving_fn(cfg, model, scales=(1.0, 0.5), merge="max",
+                         branch="ensemble", crf=True)
+    direct = np.asarray(fn(params, jnp.asarray(images)))
+    assert direct.shape == (2, 64, 64) and direct.dtype == np.uint8
+
+    exp, meta = export_serving(cfg, model, params, batch_size=2,
+                               scales=(1.0, 0.5), merge="max",
+                               branch="ensemble", crf=True)
+    path = os.path.join(tmp_path, "tiny.duplsrv")
+    save_artifact(str(path), exp, meta)
+    exp2, meta2 = load_artifact(str(path))
+    assert meta2 == meta
+    served = np.asarray(jax.jit(exp2.call)(jnp.asarray(images)))
+    # same program, same platform: the sealed artifact must reproduce the
+    # live call bit-exactly
+    np.testing.assert_array_equal(served, direct)
+
+
+def test_export_unbaked_signature(tiny, tmp_path):
+    cfg, model, params, images = tiny
+    exp, meta = export_serving(cfg, model, params, batch_size=2,
+                               scales=(1.0,), branch=1, crf=False,
+                               bake_params=False)
+    assert meta["bake_params"] is False
+    blob = exp.serialize()
+    from jax import export as jexport
+
+    exp2 = jexport.deserialize(blob)
+    out = np.asarray(exp2.call(params, jnp.asarray(images)))
+    fn = make_serving_fn(cfg, model, scales=(1.0,), branch=1, crf=False)
+    np.testing.assert_array_equal(out, np.asarray(fn(params, jnp.asarray(images))))
+
+
+def test_branch_selection_differs_from_ensemble(tiny):
+    cfg, model, params, images = tiny
+    outs = {}
+    for branch in (1, 2, "ensemble"):
+        fn = make_serving_fn(cfg, model, scales=(1.0,), branch=branch,
+                             crf=False)
+        outs[branch] = np.asarray(fn(params, jnp.asarray(images)))
+    # two random-init students: branch maps must differ somewhere
+    assert (outs[1] != outs[2]).any()
+    with pytest.raises(ValueError):
+        make_serving_fn(cfg, model, branch=3)
+
+
+def test_branch_param_slice_matches_full_forward(tiny):
+    """The branch-picked servable slices the chosen student out of the
+    stacked pytree before the forward (a 2x FLOP cut); it must produce the
+    same labels as computing both students and picking afterwards."""
+    cfg, model, params, images = tiny
+    from dupl_tpu.engine.eval_seg import msc_seg_logits
+    from dupl_tpu.ops import image as image_ops
+
+    x, _ = image_ops.prepare_inputs(jnp.asarray(images))
+    seg_full = msc_seg_logits(lambda both: model.apply(params, both).seg,
+                              x, x.shape[1:3], (1.0, 0.5), "max",
+                              batch_dims=2)
+    for branch in (1, 2):
+        fn = make_serving_fn(cfg, model, scales=(1.0, 0.5), branch=branch,
+                             crf=False)
+        got = np.asarray(fn(params, jnp.asarray(images)))
+        want = np.asarray(jnp.argmax(seg_full[branch - 1], -1).astype(jnp.uint8))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_export_tpu_platform_from_cpu_host():
+    """Cross-platform servable: TPU lowering (incl. the Pallas kernels via
+    force_kernel_platform) must trace + serialize on this CPU-only host.
+
+    Exported at the production 448 crop (785 tokens — inside the
+    exp-attention Pallas window; the 64-crop fixture's 17 tokens dispatch to
+    XLA attention on every platform, which would vacuously pass)."""
+    cfg = voc_config(
+        model=ModelConfig(backbone="test_tiny_patch16",
+                          compute_dtype="float32"),
+        data=DataConfig(crop_size=448),
+    )
+    model = DualStudent(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 448, 448, 3), jnp.float32))
+    exp, meta = export_serving(cfg, model, params, batch_size=1,
+                               scales=(1.0,), crf=False, platform="tpu")
+    assert exp.platforms == ("tpu",)
+    assert meta["platforms"] == ["tpu"]
+    # the artifact really contains the Mosaic kernels, not the XLA fallback
+    assert "tpu_custom_call" in exp.mlir_module()
+    assert len(exp.serialize()) > 0
+
+
+def test_export_from_config_cli_path(tiny, tmp_path):
+    cfg, model, params, images = tiny
+    wpath = os.path.join(tmp_path, "w.npz")
+    ckpt.export_weights(wpath, params)
+    out = os.path.join(tmp_path, "m.duplsrv")
+    meta = export_from_config(cfg, wpath, out, batch_size=2,
+                              scales=(1.0,), branch=2, crf=False)
+    assert meta["branch"] == 2 and meta["num_classes"] == cfg.num_classes
+    exp, _ = load_artifact(out)
+    served = np.asarray(jax.jit(exp.call)(jnp.asarray(images)))
+    fn = make_serving_fn(cfg, model, scales=(1.0,), branch=2, crf=False)
+    np.testing.assert_array_equal(served,
+                                  np.asarray(fn(params, jnp.asarray(images))))
+
+
+def test_export_data_parallel_mesh(tiny, tmp_path):
+    """One sealed artifact drives a whole mesh: export batch-sharded over the
+    8-device CPU mesh, roundtrip through the file format, call it on a
+    global P('data') batch — labels must equal the single-device program."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, model, params, images = tiny
+    rs = np.random.RandomState(2)
+    imgs8 = rs.randint(0, 255, (8, 64, 64, 3)).astype(np.uint8)
+
+    fn = make_serving_fn(cfg, model, scales=(1.0, 0.5), branch="ensemble",
+                         crf=True)
+    single = np.asarray(fn(params, jnp.asarray(imgs8)))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8,), ("data",))
+    exp, meta = export_serving(cfg, model, params, batch_size=8,
+                               scales=(1.0, 0.5), branch="ensemble",
+                               crf=True, mesh=mesh)
+    assert meta["num_devices"] == 8 and meta["mesh"] == {"data": 8}
+    path = os.path.join(tmp_path, "dp.duplsrv")
+    save_artifact(str(path), exp, meta)
+    exp2, _ = load_artifact(str(path))
+
+    global_imgs = jax.device_put(imgs8, NamedSharding(mesh, P("data")))
+    out = jax.jit(exp2.call)(global_imgs)
+    assert out.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(out), single)
+
+    with pytest.raises(ValueError, match="must divide"):
+        export_serving(cfg, model, params, batch_size=6, mesh=mesh)
+
+
+def test_load_artifact_rejects_garbage(tmp_path):
+    path = os.path.join(tmp_path, "junk.duplsrv")
+    with open(path, "wb") as f:
+        f.write(b"NOTDUPL!" + b"\0" * 32)
+    with pytest.raises(ValueError, match="not a DuPL serving artifact"):
+        load_artifact(path)

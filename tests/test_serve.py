@@ -1,0 +1,168 @@
+"""Serving runtime (engine/serve.py): session contract, micro-batcher,
+HTTP front — driven end-to-end over a real socket."""
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dupl_tpu.config import ModelConfig, DataConfig, voc_config
+from dupl_tpu.engine import checkpoint as ckpt
+from dupl_tpu.engine.export import export_serving, save_artifact
+from dupl_tpu.engine.serve import Batcher, InferenceSession, make_http_server
+from dupl_tpu.models.network import DualStudent
+
+
+def _fake_session(batch_size=4, crop=32, nc=21):
+    """Deterministic stand-in program: label = mean pixel % nc (checkable
+    through resizes)."""
+    calls = []
+
+    def run(batch):
+        calls.append(batch.shape[0])
+        return (batch.mean(axis=(1, 2, 3)).astype(np.int32) % nc)[
+            :, None, None].astype(np.uint8) * np.ones((crop, crop), np.uint8)
+
+    s = InferenceSession(run, batch_size=batch_size, crop_size=crop,
+                         num_classes=nc)
+    return s, calls
+
+
+def test_session_resizes_and_pads():
+    s, calls = _fake_session()
+    imgs = [np.full((40, 56, 3), v, np.uint8) for v in (10, 20, 30)]
+    preds = s.predict(imgs)
+    assert calls == [4]  # one dispatch, padded to the compiled batch size
+    for img, pred, v in zip(imgs, preds, (10, 20, 30)):
+        assert pred.shape == img.shape[:2] and pred.dtype == np.uint8
+        assert (pred == v % 21).all()
+
+
+def test_session_splits_oversize_requests():
+    s, calls = _fake_session(batch_size=2)
+    preds = s.predict([np.zeros((8, 8, 3), np.uint8)] * 5)
+    assert len(preds) == 5 and calls == [2, 2, 2]  # last dispatch padded
+
+
+def test_session_rejects_bad_input():
+    s, _ = _fake_session()
+    with pytest.raises(ValueError, match="HxWx3 uint8"):
+        s.predict([np.zeros((8, 8), np.uint8)])
+
+
+def test_batcher_coalesces_and_propagates_errors():
+    s, calls = _fake_session(batch_size=8)
+    b = Batcher(s, max_delay_s=0.05)
+    futs = [b.submit(np.full((16, 16, 3), v, np.uint8))
+            for v in (5, 6, 7, 8)]
+    res = [f.result(timeout=10) for f in futs]
+    for v, r in zip((5, 6, 7, 8), res):
+        assert (r == v % 21).all()
+    assert len(calls) <= 2  # coalesced into at most 2 dispatches, not 4
+
+    bad = b.submit(np.zeros((4, 4), np.uint8))  # wrong rank -> exception
+    with pytest.raises(ValueError):
+        bad.result(timeout=10)
+    b.close()
+
+
+def _post(url, body, ctype, accept=None):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype,
+                                          **({"Accept": accept} if accept else {})})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.headers.get("Content-Type"), r.read()
+
+
+@pytest.fixture()
+def http_server():
+    s, _ = _fake_session()
+    b = Batcher(s, max_delay_s=0.005)
+    srv = make_http_server(b, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    b.close()
+
+
+def test_http_segment_npy_and_png(http_server):
+    import json
+
+    with urllib.request.urlopen(http_server + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["crop_size"] == 32
+
+    img = np.full((24, 40, 3), 9, np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    ctype, body = _post(http_server + "/v1/segment", buf.getvalue(),
+                        "application/x-npy", accept="application/x-npy")
+    assert ctype == "application/x-npy"
+    pred = np.load(io.BytesIO(body))
+    assert pred.shape == (24, 40) and (pred == 9).all()
+
+    from PIL import Image
+
+    pbuf = io.BytesIO()
+    Image.fromarray(img).save(pbuf, format="PNG")
+    ctype, body = _post(http_server + "/v1/segment", pbuf.getvalue(),
+                        "image/png")
+    assert ctype == "image/png"
+    out = Image.open(io.BytesIO(body))
+    assert out.mode == "P" and out.size == (40, 24)
+    assert (np.asarray(out) == 9).all()
+
+
+def test_http_bad_body_is_400(http_server):
+    req = urllib.request.Request(http_server + "/v1/segment",
+                                 data=b"not an image", method="POST",
+                                 headers={"Content-Type": "image/png"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+
+def test_session_from_artifact_real_model(tmp_path):
+    """The full deployment path on a tiny model: export -> artifact ->
+    InferenceSession -> native-resolution prediction."""
+    cfg = voc_config(
+        model=ModelConfig(backbone="test_tiny_patch16",
+                          compute_dtype="float32"),
+        data=DataConfig(crop_size=64),
+    )
+    model = DualStudent(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    exp, meta = export_serving(cfg, model, params, batch_size=2,
+                               scales=(1.0,), crf=False)
+    path = str(tmp_path / "m.duplsrv")
+    save_artifact(path, exp, meta)
+    session = InferenceSession.from_artifact(path)
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (50, 70, 3)).astype(np.uint8)
+    (pred,) = session.predict([img])
+    assert pred.shape == (50, 70) and pred.dtype == np.uint8
+    assert pred.max() < cfg.num_classes
+
+
+def test_session_from_weights_live(tmp_path):
+    cfg = voc_config(
+        model=ModelConfig(backbone="test_tiny_patch16",
+                          compute_dtype="float32"),
+        data=DataConfig(crop_size=64),
+    )
+    model = DualStudent(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    wpath = str(tmp_path / "w.npz")
+    ckpt.export_weights(wpath, params)
+    session = InferenceSession.from_weights(cfg, wpath, batch_size=2,
+                                            scales=(1.0,), crf=False)
+    img = np.zeros((64, 64, 3), np.uint8)
+    (pred,) = session.predict([img])
+    assert pred.shape == (64, 64)
