@@ -153,6 +153,114 @@ def export_serving(cfg: TrainConfig, model: DualStudent, params, *,
     return exp, meta
 
 
+def make_pseudo_label_fn(cfg: TrainConfig, trainer=None):
+    """The OTHER production program: the pseudo-label factory
+    (bench.py's headline pipeline — multi-scale CAM for both students, PAR
+    refinement into per-branch pseudo-labels, mean-field CRF over the seg
+    posteriors; the work the reference splits between GPU inference and hours
+    of host-CPU pydensecrf).
+
+    ``(params, images, cls_label, img_box) -> (refined, crf_labels)``:
+    ``refined`` is the per-branch PAR pseudo-label map at the PAR working
+    resolution (uint8, ``ignore_index`` marks the reference's ignore band),
+    ``crf_labels`` the CRF-refined seg argmax at input resolution (uint8).
+    Sealing this lets a labeling fleet mass-produce pseudo ground truth from
+    the artifact alone."""
+    from dupl_tpu.engine.train import Trainer
+    from dupl_tpu.models.network import Student
+    from dupl_tpu.ops import cam as cam_ops
+
+    trainer = trainer or Trainer(cfg)
+    model = trainer.model
+
+    def fn(params, images, cls_label, img_box):
+        x, image01 = image_ops.prepare_inputs(images)
+
+        def one_branch(pb):
+            return cam_ops.multi_scale_cam_with_outputs(
+                lambda z: model.module.apply(pb, z,
+                                             method=Student.forward_with_cams),
+                lambda z: model.module.apply(pb, z, method=Student.cam_only),
+                x, cfg.cam_scales, with_aux=False,
+                merge_size=(x.shape[1] // 2, x.shape[2] // 2),
+            )
+
+        cams, _, out = jax.vmap(one_branch)(params)
+        refined = trainer._refine(cams, image01, cls_label, img_box,
+                                  high_thre=cfg.high_thre)
+        seg = image_ops.resize_bilinear(out.seg[0], x.shape[1:3])
+        probs = jax.nn.softmax(seg, axis=-1)
+        logits = crf_ops.crf_from_config(image01, probs, cfg.crf,
+                                         fast=True, return_logits=True)
+        return (refined.astype(jnp.uint8),
+                jnp.argmax(logits, axis=-1).astype(jnp.uint8))
+
+    return fn
+
+
+def export_pseudo_labeler(cfg: TrainConfig, params, *,
+                          batch_size: int = 16,
+                          platform: Optional[str] = None,
+                          bake_params: bool = True,
+                          mesh=None):
+    """Seal the pseudo-label factory (:func:`make_pseudo_label_fn`) the same
+    way :func:`export_serving` seals the segmentation service."""
+    from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    platform = platform or jax.default_backend()
+    crop = cfg.data.crop_size
+    fn = make_pseudo_label_fn(cfg)
+    specs = (
+        jax.ShapeDtypeStruct((batch_size, crop, crop, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, cfg.num_classes - 1), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, 4), jnp.int32),
+    )
+    jit_kw = {}
+    if mesh is not None:
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the mesh's "
+                f"data axis ({mesh.shape['data']})")
+        data = NamedSharding(mesh, P("data"))
+        # refined carries a leading BRANCH axis of 2; its batch is axis 1
+        outs = (NamedSharding(mesh, P(None, "data")), data)
+        if bake_params:
+            jit_kw = dict(in_shardings=(data,) * 3, out_shardings=outs)
+        else:
+            rep = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+            jit_kw = dict(in_shardings=(rep,) + (data,) * 3,
+                          out_shardings=outs)
+    with force_kernel_platform(platform):
+        if bake_params:
+            exp = jexport.export(
+                jax.jit(lambda im, cl, bx: fn(params, im, cl, bx), **jit_kw),
+                platforms=[platform])(*specs)
+        else:
+            p_spec = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+            exp = jexport.export(jax.jit(fn, **jit_kw),
+                                 platforms=[platform])(p_spec, *specs)
+    meta = {
+        "format": "duplsrv/1",
+        "kind": "pseudo_labeler",
+        "platforms": list(exp.platforms),
+        "batch_size": batch_size,
+        "crop_size": crop,
+        "num_classes": cfg.num_classes,
+        "cam_scales": list(cfg.cam_scales),
+        "ignore_index": cfg.ignore_index,
+        "bake_params": bake_params,
+        "num_devices": 1 if mesh is None else mesh.size,
+        "mesh": None if mesh is None else dict(mesh.shape),
+        "input": (f"uint8[{batch_size},{crop},{crop},3] RGB, "
+                  f"float32[{batch_size},{cfg.num_classes - 1}] cls one-hot, "
+                  f"int32[{batch_size},4] img box"),
+        "output": "per-branch PAR pseudo-labels + CRF seg labels (uint8)",
+    }
+    return exp, meta
+
+
 def save_artifact(path: str, exported, meta: dict) -> None:
     payload = exported.serialize()
     blob = json.dumps(meta, sort_keys=True).encode("utf-8")

@@ -171,6 +171,49 @@ def test_export_data_parallel_mesh(tiny, tmp_path):
         export_serving(cfg, model, params, batch_size=6, mesh=mesh)
 
 
+def test_export_pseudo_labeler_roundtrip(tiny, tmp_path):
+    """The sealed pseudo-label factory (CAM+PAR+CRF, both branches) must
+    reproduce the live pipeline bit-exactly, single-device and mesh-sharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dupl_tpu.data.pipeline import synthetic_batch
+    from dupl_tpu.engine.export import export_pseudo_labeler, make_pseudo_label_fn
+
+    cfg, model, params, _ = tiny
+    batch = synthetic_batch(4, crop=64, num_fg=cfg.num_classes - 1)
+    args = (jnp.asarray(batch["image"]), jnp.asarray(batch["cls_label"]),
+            jnp.asarray(batch["img_box"]))
+
+    fn = make_pseudo_label_fn(cfg)
+    ref_refined, ref_crf = map(np.asarray, fn(params, *args))
+    assert ref_refined.dtype == np.uint8 and ref_refined.shape[0] == 2
+    assert ref_crf.shape == (4, 64, 64)
+    # pseudo-labels must actually use the ignore band and the foreground set
+    assert (ref_refined == cfg.ignore_index).any()
+
+    exp, meta = export_pseudo_labeler(cfg, params, batch_size=4)
+    assert meta["kind"] == "pseudo_labeler"
+    path = os.path.join(tmp_path, "pl.duplsrv")
+    save_artifact(str(path), exp, meta)
+    exp2, _ = load_artifact(str(path))
+    got_refined, got_crf = map(np.asarray, jax.jit(exp2.call)(*args))
+    np.testing.assert_array_equal(got_refined, ref_refined)
+    np.testing.assert_array_equal(got_crf, ref_crf)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4,), ("data",))
+    expm, metam = export_pseudo_labeler(cfg, params, batch_size=4, mesh=mesh)
+    assert metam["mesh"] == {"data": 4}
+    sharded_args = (
+        jax.device_put(args[0], NamedSharding(mesh, P("data"))),
+        jax.device_put(args[1], NamedSharding(mesh, P("data"))),
+        jax.device_put(args[2], NamedSharding(mesh, P("data"))),
+    )
+    m_refined, m_crf = jax.jit(expm.call)(*sharded_args)
+    assert m_refined.sharding.spec == P(None, "data")
+    np.testing.assert_array_equal(np.asarray(m_refined), ref_refined)
+    np.testing.assert_array_equal(np.asarray(m_crf), ref_crf)
+
+
 def test_load_artifact_rejects_garbage(tmp_path):
     path = os.path.join(tmp_path, "junk.duplsrv")
     with open(path, "wb") as f:
