@@ -36,7 +36,7 @@ _PROBE_SRC = ("import jax, jax.numpy as jnp, numpy as np; "
               "print('PLATFORM=' + jax.devices()[0].platform)")
 
 
-def probe_platform(timeout_s: float = 120.0, attempts: int = 3) -> str:
+def probe_platform(timeout_s: float = 120.0, attempts: int = 4) -> str:
     """Ask a subprocess which backend is actually reachable AND executing.
 
     Returns the platform name ('tpu'/'axon'/...) or 'cpu' if the ambient
@@ -175,13 +175,17 @@ def main():
     # steady-state throughput: enqueue every iteration, then sync once —
     # device execution is in-order, so syncing the last result is a barrier
     # for all of them; per-dispatch relay latency (~30 ms) overlaps compute
-    # exactly as it would in a serving loop
+    # exactly as it would in a serving loop.  Best of 3 windows (the
+    # BENCHMARKS.md methodology): run-to-run relay noise is ~1-2%, and a
+    # single window can dip below the steady state it is meant to measure.
     iters = 10
-    t0 = time.perf_counter()
-    outs = [cam_par_pipeline(params, inputs, cls_label, img_box)
-            for _ in range(iters)]
-    sync(outs[-1])
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [cam_par_pipeline(params, inputs, cls_label, img_box)
+                for _ in range(iters)]
+        sync(outs[-1])
+        dt = min(dt, time.perf_counter() - t0)
 
     img_per_s = batch_size * iters / dt
     util = flops_utils.mfu(flops_per_call, iters, dt, jax.devices()[0])

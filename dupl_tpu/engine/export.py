@@ -135,6 +135,7 @@ def export_serving(cfg: TrainConfig, model: DualStudent, params, *,
                                  platforms=[platform])(p_spec, img_spec)
     meta = {
         "format": "duplsrv/1",
+        "kind": "segmentation",
         "platforms": list(exp.platforms),
         "batch_size": batch_size,
         "crop_size": crop,

@@ -28,6 +28,11 @@ import numpy as np
 
 from dupl_tpu.utils import colormap
 
+# Reject request bodies above this size (448^2 RGB float64 .npy is ~4.8 MB;
+# 64 MB leaves generous headroom for large PNGs without letting a single
+# request exhaust host memory).
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
 
 class InferenceSession:
     """Wraps the compiled serving program behind a plain
@@ -53,12 +58,23 @@ class InferenceSession:
         from dupl_tpu.engine.export import load_artifact
 
         exp, meta = load_artifact(path)
+        if meta.get("kind", "segmentation") == "pseudo_labeler":
+            raise ValueError(
+                f"{path} is a pseudo_labeler artifact ((images, cls_label, "
+                "img_box) signature); the segmentation server cannot serve "
+                "it — export with engine.export.export_serving instead")
         if not meta.get("bake_params", True):
             raise ValueError(
                 f"{path} was exported with bake_params=False (a (params, "
                 "images) signature); serve it with from_exported(exp, params)")
         import jax
 
+        n_dev = int(meta.get("num_devices", 1))
+        if n_dev > len(jax.devices()):
+            raise ValueError(
+                f"{path} was exported mesh-sharded over {n_dev} devices "
+                f"(mesh={meta.get('mesh')}); this host has only "
+                f"{len(jax.devices())} — re-export for this topology")
         call = jax.jit(exp.call)
         return cls(lambda imgs: np.asarray(call(imgs)),
                    batch_size=meta["batch_size"], crop_size=meta["crop_size"],
@@ -220,13 +236,29 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
             if self.path != "/v1/segment":
                 self._json(404, {"error": "unknown path"})
                 return
+            # client-side errors (bad body / undecodable image) -> 400;
+            # server-side inference failures -> 500; batcher timeout -> 504
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_BODY_BYTES:
+                    self._json(413, {"error": f"body {n} bytes exceeds "
+                                              f"limit {MAX_BODY_BYTES}"})
+                    return
                 img = _decode_image(self.rfile.read(n),
                                     self.headers.get("Content-Type", ""))
-                pred = batcher.submit(img).result(timeout=300)
             except Exception as exc:
                 self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            try:
+                pred = batcher.submit(img).result(timeout=300)
+            except TimeoutError as exc:
+                self._json(504, {"error": f"inference timed out: {exc}"})
+                return
+            except Exception as exc:
+                # ValueError from predict() means the request violated the
+                # program's input contract (shape/dtype) — still the client
+                code = 400 if isinstance(exc, ValueError) else 500
+                self._json(code, {"error": f"{type(exc).__name__}: {exc}"})
                 return
             if self.headers.get("Accept") == "application/x-npy":
                 buf = io.BytesIO()

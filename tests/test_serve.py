@@ -150,6 +150,72 @@ def test_session_from_artifact_real_model(tmp_path):
     assert pred.max() < cfg.num_classes
 
 
+def test_from_artifact_rejects_wrong_kind_and_topology(tmp_path):
+    """Load-time contract checks: a pseudo_labeler artifact (3-arg
+    signature) and a mesh wider than this host must fail at load with a
+    clear message, not with an opaque arity/sharding error on the first
+    request."""
+    cfg = voc_config(
+        model=ModelConfig(backbone="test_tiny_patch16",
+                          compute_dtype="float32"),
+        data=DataConfig(crop_size=64),
+    )
+    model = DualStudent(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    exp, meta = export_serving(cfg, model, params, batch_size=2,
+                               scales=(1.0,), crf=False)
+
+    p1 = str(tmp_path / "pl.duplsrv")
+    save_artifact(p1, exp, {**meta, "kind": "pseudo_labeler"})
+    with pytest.raises(ValueError, match="pseudo_labeler"):
+        InferenceSession.from_artifact(p1)
+
+    p2 = str(tmp_path / "wide.duplsrv")
+    save_artifact(p2, exp, {**meta, "num_devices": 4096,
+                            "mesh": {"data": 4096}})
+    with pytest.raises(ValueError, match="4096 devices"):
+        InferenceSession.from_artifact(p2)
+
+
+def test_http_oversized_body_is_413(http_server, monkeypatch):
+    from dupl_tpu.engine import serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "MAX_BODY_BYTES", 16)
+    req = urllib.request.Request(http_server + "/v1/segment",
+                                 data=b"x" * 64, method="POST",
+                                 headers={"Content-Type": "image/png"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 413
+
+
+def test_http_inference_failure_is_500():
+    """Server-side inference errors must surface as 5xx, not 400."""
+    def run(batch):
+        raise RuntimeError("device fell over")
+
+    s = InferenceSession(run, batch_size=2, crop_size=16, num_classes=21)
+    b = Batcher(s, max_delay_s=0.005)
+    srv = make_http_server(b, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/v1/segment",
+            data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/x-npy"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+    finally:
+        srv.shutdown()
+        b.close()
+
+
 def test_session_from_weights_live(tmp_path):
     cfg = voc_config(
         model=ModelConfig(backbone="test_tiny_patch16",
