@@ -112,7 +112,9 @@ def main():
 
     # batch 16 is the measured throughput optimum on the 16 GB v5e (re-checked
     # after the round-2 kernel set: 25.5 img/s at batch 32 vs 27.07 at 16 —
-    # the scale-1.5 activations of the larger batch pressure HBM)
+    # the scale-1.5 activations of the larger batch pressure HBM; re-swept
+    # round 5 after the r3/r4 kernel changes: 16 -> 26.85, 20 -> 26.41,
+    # 24 -> 26.67 img/s under tools/bench_components.py conditions)
     batch_size = 16
     batch = synthetic_batch(batch_size, crop=448, style=bench_args.style)
     inputs = jnp.asarray(batch["image"])

@@ -1,0 +1,271 @@
+"""Packed-record input format (``.duplrec``): one shard file instead of
+O(100k) tiny JPEGs/PNGs.
+
+The reference (and our directory datasets, ``data/voc.py`` /
+``data/coco.py``, mirroring ``datasets/voc.py:24-62``) reads every sample as
+two small files plus a side ``cls_labels_onehot.npy``.  That layout is fine
+on a local SSD but is the classic production input-pipeline bottleneck on
+network filesystems (one metadata round-trip + open per tiny file).  A
+production TPU feed reads a few large sequential shards (ArrayRecord/
+TFRecord-style).  ``.duplrec`` is the minimal such format for this workload:
+
+    DUPLREC1 | uint64 LE json_len | JSON index | blob section
+
+The JSON index holds, per sample: name, (offset, length) of the encoded
+image bytes, optionally (offset, length) of the encoded mask bytes, the
+(h, w) image size (so shape bucketing never touches the blobs), and
+optionally the image-level one-hot label.  Blobs are the **original encoded
+file bytes** (JPEG/PNG, no re-encode, no decode at pack time), so packed
+and directory datasets are pixel-identical by construction.
+
+Reads go through one shared ``os.pread`` file descriptor — positionless and
+thread-safe, so all :class:`~dupl_tpu.data.pipeline.PrefetchLoader` workers
+share it with zero locking.
+
+``RecordVocClsDataset`` etc. subclass the directory datasets and override
+only the IO methods; the transform/augment/``__getitem__`` logic — and
+therefore the (seed, epoch, idx) determinism contract — is inherited
+unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from dupl_tpu.data import coco as coco_data
+from dupl_tpu.data import voc as voc_data
+
+MAGIC = b"DUPLREC1"
+
+
+def pack_records(out_path: str, names: Sequence[str],
+                 image_paths: Sequence[str],
+                 label_paths: Optional[Sequence[Optional[str]]] = None,
+                 cls_labels: Optional[Dict[str, np.ndarray]] = None) -> dict:
+    """Write a ``.duplrec`` shard.  Blobs are raw file bytes (no re-encode).
+
+    Returns the index dict (sans offsets) for logging/tests."""
+    if label_paths is None:
+        label_paths = [None] * len(names)
+    if len(image_paths) != len(names) or len(label_paths) != len(names):
+        raise ValueError("names/image_paths/label_paths length mismatch")
+
+    # blobs stream to a sidecar file (a full COCO split is ~13 GB — far too
+    # large to accumulate in memory) and are spliced after the index, whose
+    # length is only known once every entry is measured
+    entries: List[dict] = []
+    tmp = out_path + ".blobs.tmp"
+    try:
+        with open(tmp, "wb") as blobs:
+            for name, ipath, lpath in zip(names, image_paths, label_paths):
+                with open(ipath, "rb") as f:
+                    ib = f.read()
+                with Image.open(io.BytesIO(ib)) as im:
+                    w, h = im.size
+                e: dict = {"name": name, "image": [blobs.tell(), len(ib)],
+                           "size": [h, w]}
+                blobs.write(ib)
+                if lpath is not None:
+                    with open(lpath, "rb") as f:
+                        lb = f.read()
+                    e["label"] = [blobs.tell(), len(lb)]
+                    blobs.write(lb)
+                if cls_labels is not None:
+                    e["cls"] = np.asarray(cls_labels[name], np.float32).tolist()
+                entries.append(e)
+
+        index = {"format": "duplrec/1", "count": len(entries),
+                 "entries": entries}
+        blob = json.dumps(index).encode("utf-8")
+        with open(out_path, "wb") as f, open(tmp, "rb") as blobs:
+            f.write(MAGIC)
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+            while True:
+                chunk = blobs.read(1 << 24)
+                if not chunk:
+                    break
+                f.write(chunk)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return index
+
+
+def pack_voc(root_dir: str, name_list_dir: str, split: str, out_path: str, *,
+             with_labels: bool = True, with_cls: bool = True) -> int:
+    """Pack a VOC split (JPEGImages + SegmentationClassAug +
+    cls_labels_onehot.npy) into one shard.  Returns the sample count."""
+    names = voc_data.load_name_list(os.path.join(name_list_dir, split + ".txt"))
+    img = [os.path.join(root_dir, "JPEGImages", n + ".jpg") for n in names]
+    lab = ([os.path.join(root_dir, "SegmentationClassAug", n + ".png")
+            for n in names] if with_labels else None)
+    cls = voc_data.load_cls_labels(name_list_dir) if with_cls else None
+    pack_records(out_path, names, img, lab, cls)
+    return len(names)
+
+
+def pack_coco(root_dir: str, name_list_dir: str, split: str, out_path: str, *,
+              label_folder: Optional[str] = None,
+              with_labels: bool = True, with_cls: bool = True) -> int:
+    """Pack a COCO split (train2014/val2014 subdirs keyed by name prefix,
+    coco.py:61-71 semantics via :func:`coco_data._subdir`)."""
+    names = voc_data.load_name_list(os.path.join(name_list_dir, split + ".txt"))
+    label_folder = label_folder or os.path.join(
+        os.path.dirname(root_dir.rstrip("/")), "SegmentationClass")
+    img = [os.path.join(root_dir, coco_data._subdir(n), n + ".jpg")
+           for n in names]
+    lab = ([os.path.join(label_folder, coco_data._subdir(n), n + ".png")
+            for n in names] if with_labels else None)
+    cls = None
+    if with_cls:
+        try:
+            cls = voc_data.load_cls_labels(name_list_dir)
+        except FileNotFoundError:
+            cls = None  # regenerable from masks; datasets fall back lazily
+    pack_records(out_path, names, img, lab, cls)
+    return len(names)
+
+
+class RecordStore:
+    """Read side: parse the index once, then positionless ``os.pread`` blob
+    reads shared across loader worker threads."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            magic = f.read(len(MAGIC))
+            if magic != MAGIC:
+                raise ValueError(f"{path}: not a duplrec shard (magic {magic!r})")
+            (n,) = struct.unpack("<Q", f.read(8))
+            index = json.loads(f.read(n).decode("utf-8"))
+            self._blob0 = f.tell()
+        self._fd = os.open(path, os.O_RDONLY)
+        self.entries = index["entries"]
+        self.names: List[str] = [e["name"] for e in self.entries]
+        self.sizes: List[Tuple[int, int]] = [tuple(e["size"]) for e in self.entries]
+        self._by_name = {e["name"]: e for e in self.entries}
+        self.cls_labels: Optional[Dict[str, np.ndarray]] = None
+        if self.entries and "cls" in self.entries[0]:
+            self.cls_labels = {e["name"]: np.asarray(e["cls"], np.float32)
+                               for e in self.entries}
+
+    def __len__(self):
+        return len(self.entries)
+
+    def _read(self, span) -> bytes:
+        off, length = span
+        return os.pread(self._fd, length, self._blob0 + off)
+
+    def image_bytes(self, name: str) -> bytes:
+        return self._read(self._by_name[name]["image"])
+
+    def label_bytes(self, name: str) -> bytes:
+        e = self._by_name[name]
+        if "label" not in e:
+            raise KeyError(f"{self.path}: no mask packed for {name!r} "
+                           "(packed with with_labels=False?)")
+        return self._read(e["label"])
+
+    def decode_image(self, name: str) -> np.ndarray:
+        # .convert("RGB") = the directory datasets' grayscale promotion
+        # (coco robust_read_image / voc read_image)
+        return np.asarray(Image.open(io.BytesIO(self.image_bytes(name))).convert("RGB"))
+
+    def decode_label(self, name: str) -> np.ndarray:
+        return np.asarray(Image.open(io.BytesIO(self.label_bytes(name))))
+
+    def close(self):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+
+
+class _RecordIO:
+    """Mixin replacing a directory dataset's three IO methods with store
+    reads.  MRO puts this before the dataset class, so the inherited
+    ``__getitem__`` (transforms, determinism contract) calls into the store."""
+
+    _store: RecordStore
+
+    def read_image(self, name: str) -> np.ndarray:
+        return self._store.decode_image(name)
+
+    def read_label(self, name: str) -> np.ndarray:
+        return self._store.decode_label(name)
+
+    def image_size(self, idx: int) -> Tuple[int, int]:
+        return self._store.sizes[idx]
+
+
+class RecordVocClsDataset(_RecordIO, voc_data.VocClsDataset):
+    def __init__(self, record_path: str, *, crop_size: int = 448,
+                 rescale_range: Tuple[float, float] = (0.5, 2.0),
+                 img_fliplr: bool = True, num_classes: int = 21,
+                 ignore_index: int = 255, aug: bool = True,
+                 transfer_dtype: str = "float32"):
+        self._store = RecordStore(record_path)
+        if self._store.cls_labels is None:
+            raise ValueError(f"{record_path} was packed without cls labels; "
+                             "the training dataset needs them (pack with "
+                             "with_cls=True)")
+        self.name_list = list(self._store.names)
+        self.label_list = self._store.cls_labels
+        self.crop_size = crop_size
+        self.rescale_range = rescale_range
+        self.img_fliplr = img_fliplr
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+        self.aug = aug
+        self.transfer_dtype = transfer_dtype
+
+
+class RecordVocSegDataset(_RecordIO, voc_data.VocSegDataset):
+    def __init__(self, record_path: str, *, stage: str = "val",
+                 num_classes: int = 21, ignore_index: int = 255,
+                 transfer_dtype: str = "float32"):
+        self._store = RecordStore(record_path)
+        self.name_list = list(self._store.names)
+        self.stage = stage
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+        self.transfer_dtype = transfer_dtype
+
+
+class RecordCocoClsDataset(_RecordIO, coco_data.CocoClsDataset):
+    def __init__(self, record_path: str, *, crop_size: int = 448,
+                 rescale_range: Tuple[float, float] = (0.5, 2.0),
+                 img_fliplr: bool = True, num_classes: int = 81,
+                 ignore_index: int = 255, aug: bool = True,
+                 transfer_dtype: str = "float32"):
+        self._store = RecordStore(record_path)
+        self.name_list = list(self._store.names)
+        # may be None: CocoClsDataset.__getitem__ then derives the one-hot
+        # from the packed mask (the same lazy fallback as the directory path)
+        self.label_list = self._store.cls_labels
+        self.crop_size = crop_size
+        self.rescale_range = rescale_range
+        self.img_fliplr = img_fliplr
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+        self.aug = aug
+        self.transfer_dtype = transfer_dtype
+
+
+class RecordCocoSegDataset(_RecordIO, coco_data.CocoSegDataset):
+    def __init__(self, record_path: str, *, stage: str = "val",
+                 num_classes: int = 81, ignore_index: int = 255,
+                 transfer_dtype: str = "float32"):
+        self._store = RecordStore(record_path)
+        self.name_list = list(self._store.names)
+        self.stage = stage
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+        self.transfer_dtype = transfer_dtype

@@ -155,6 +155,18 @@ class Batcher:
         self._stop.set()
         self._q.put(None)
         self._worker.join(timeout=5)
+        # fail any requests still queued so their waiters don't hang until
+        # the HTTP timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("batcher closed"))
+        # a worker that outlived the join (wedged in inference) must find a
+        # sentinel when it comes back, not block on the drained queue
+        self._q.put(None)
 
     def _loop(self) -> None:
         while not self._stop.is_set():

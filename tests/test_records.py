@@ -1,0 +1,216 @@
+"""Packed-record input format (data/records.py): the .duplrec shard must be
+sample-for-sample pixel-identical to the directory datasets it packs, across
+VOC/COCO, cls/seg, and through the PrefetchLoader."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_data import fake_voc, fake_coco  # noqa: F401 — fixtures
+
+
+def _assert_samples_equal(a, b):
+    assert a.keys() == b.keys()
+    for k in a:
+        if isinstance(a[k], str):
+            assert a[k] == b[k]
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_voc_cls_records_match_directory(fake_voc, tmp_path):  # noqa: F811
+    from dupl_tpu.data.records import RecordVocClsDataset, pack_voc
+    from dupl_tpu.data.voc import VocClsDataset
+
+    root, lists = fake_voc
+    shard = str(tmp_path / "voc_train.duplrec")
+    n = pack_voc(root, lists, "train_aug", shard)
+    assert n == 8
+
+    dir_ds = VocClsDataset(root, lists, "train_aug", crop_size=64)
+    rec_ds = RecordVocClsDataset(shard, crop_size=64)
+    assert len(rec_ds) == len(dir_ds) == 8
+    assert rec_ds.name_list == dir_ds.name_list
+    for i in range(len(dir_ds)):
+        # identical seed -> identical augmentation stream -> identical pixels
+        _assert_samples_equal(dir_ds.__getitem__(i, seed=77 + i),
+                              rec_ds.__getitem__(i, seed=77 + i))
+        assert rec_ds.image_size(i) == dir_ds.image_size(i)
+
+
+def test_voc_seg_records_match_directory(fake_voc, tmp_path):  # noqa: F811
+    from dupl_tpu.data.records import RecordVocSegDataset, pack_voc
+    from dupl_tpu.data.voc import VocSegDataset
+
+    root, lists = fake_voc
+    shard = str(tmp_path / "voc_val.duplrec")
+    pack_voc(root, lists, "val", shard)
+    dir_ds = VocSegDataset(root, lists, "val", transfer_dtype="uint8")
+    rec_ds = RecordVocSegDataset(shard, transfer_dtype="uint8")
+    for i in range(len(dir_ds)):
+        _assert_samples_equal(dir_ds[i], rec_ds[i])
+
+
+def test_coco_records_match_directory(fake_coco, tmp_path):  # noqa: F811
+    from dupl_tpu.data.coco import CocoClsDataset, CocoSegDataset
+    from dupl_tpu.data.records import (RecordCocoClsDataset,
+                                       RecordCocoSegDataset, pack_coco)
+
+    root, lists = fake_coco
+    tr = str(tmp_path / "coco_train.duplrec")
+    va = str(tmp_path / "coco_val.duplrec")
+    pack_coco(root, lists, "train", tr)
+    pack_coco(root, lists, "val_part", va)
+
+    dir_tr = CocoClsDataset(root, lists, "train", crop_size=64)
+    rec_tr = RecordCocoClsDataset(tr, crop_size=64)
+    for i in range(len(dir_tr)):
+        _assert_samples_equal(dir_tr.__getitem__(i, seed=3 + i),
+                              rec_tr.__getitem__(i, seed=3 + i))
+
+    # the grayscale val jpeg exercises the robust-read promotion through the
+    # packed path (raw bytes are packed, so the decode is byte-identical)
+    dir_va = CocoSegDataset(root, lists, "val_part")
+    rec_va = RecordCocoSegDataset(va)
+    for i in range(len(dir_va)):
+        _assert_samples_equal(dir_va[i], rec_va[i])
+
+
+def test_coco_records_cls_fallback_from_masks(fake_coco, tmp_path):  # noqa: F811
+    """A shard packed without the one-hot table must fall back to deriving
+    labels from the packed masks (CocoClsDataset's lazy path)."""
+    from dupl_tpu.data.coco import CocoClsDataset
+    from dupl_tpu.data.records import RecordCocoClsDataset, pack_coco
+
+    root, lists = fake_coco
+    shard = str(tmp_path / "coco_nocls.duplrec")
+    pack_coco(root, lists, "train", shard, with_cls=False)
+    rec = RecordCocoClsDataset(shard, crop_size=64)
+    assert rec.label_list is None
+    ref = CocoClsDataset(root, lists, "train", crop_size=64)
+    for i in range(len(ref)):
+        np.testing.assert_array_equal(
+            rec.__getitem__(i, seed=1)["cls_label"],
+            ref.__getitem__(i, seed=1)["cls_label"])
+
+
+def test_records_through_prefetch_loader(fake_voc, tmp_path):  # noqa: F811
+    """Batch k is a pure function of (seed, k) regardless of the storage
+    backend: loader-over-records == loader-over-directory, bitwise."""
+    from dupl_tpu.data.pipeline import PrefetchLoader
+    from dupl_tpu.data.records import RecordVocClsDataset, pack_voc
+    from dupl_tpu.data.voc import VocClsDataset
+
+    root, lists = fake_voc
+    shard = str(tmp_path / "voc_loader.duplrec")
+    pack_voc(root, lists, "train_aug", shard)
+
+    def take(ds, k=3):
+        loader = PrefetchLoader(ds, batch_size=4, seed=11, num_workers=2)
+        it = iter(loader)
+        batches = [next(it) for _ in range(k)]
+        loader.stop()
+        return batches
+
+    for a, b in zip(take(VocClsDataset(root, lists, "train_aug", crop_size=64)),
+                    take(RecordVocClsDataset(shard, crop_size=64))):
+        _assert_samples_equal(a, b)
+
+
+def test_record_store_rejects_garbage_and_guards(tmp_path):
+    from dupl_tpu.data.records import (RecordStore, RecordVocClsDataset,
+                                       pack_records)
+
+    junk = str(tmp_path / "junk.duplrec")
+    with open(junk, "wb") as f:
+        f.write(b"NOTAREC!" + b"\0" * 16)
+    with pytest.raises(ValueError, match="not a duplrec shard"):
+        RecordStore(junk)
+
+    # mask-less + cls-less shard: seg access and cls-training must both fail
+    # with clear messages
+    img = tmp_path / "img.jpg"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img)
+    bare = str(tmp_path / "bare.duplrec")
+    pack_records(bare, ["a"], [str(img)])
+    store = RecordStore(bare)
+    assert store.sizes == [(8, 8)]
+    np.testing.assert_array_equal(store.decode_image("a"),
+                                  np.asarray(Image.open(img).convert("RGB")))
+    with pytest.raises(KeyError, match="no mask packed"):
+        store.label_bytes("a")
+    with pytest.raises(ValueError, match="without cls labels"):
+        RecordVocClsDataset(bare)
+
+
+@pytest.mark.slow
+def test_train_cli_records_matches_directory(tmp_path):
+    """tools/train.py --train-records/--val-records end-to-end: a 4-iter
+    tiny run fed from packed shards must export bitwise-identical weights to
+    the directory-fed run (batch k is a pure function of (seed, k) and the
+    record datasets are pixel-identical)."""
+    import glob
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from make_fake_voc import make_tree
+
+    tree = str(tmp_path / "voc")
+    make_tree(tree, n=8, size=96)
+    from dupl_tpu.data.records import pack_voc
+    tr = str(tmp_path / "train.duplrec")
+    va = str(tmp_path / "val.duplrec")
+    pack_voc(tree, os.path.join(tree, "lists"), "train_aug", tr)
+    pack_voc(tree, os.path.join(tree, "lists"), "val", va)
+
+    env = dict(os.environ)
+    for k in ("PYTHONPATH", "PALLAS_AXON_POOL_IPS", "XLA_FLAGS"):
+        env.pop(k, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_NUM_CPU_DEVICES"] = "2"
+    base = [sys.executable, os.path.join(repo, "tools", "train.py"),
+            "--dataset", "voc", "--backbone", "test_tiny_patch16",
+            "--crop-size", "64", "--max-iters", "4", "--cam-iters", "2",
+            "--gmm-iters", "3", "--eval-iters", "4", "--log-iters", "2",
+            "--samples-per-device", "1", "--num-workers", "2",
+            "--cam-stream-dtype", "float32"]
+
+    def run(extra, work_dir):
+        r = subprocess.run(base + ["--work-dir", work_dir] + extra, env=env,
+                           capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        (w,) = glob.glob(os.path.join(work_dir, "*", "checkpoints",
+                                      "weights.npz"))
+        return dict(np.load(w))
+
+    w_dir = run(["--data-folder", tree,
+                 "--list-folder", os.path.join(tree, "lists")],
+                str(tmp_path / "run_dir"))
+    w_rec = run(["--train-records", tr, "--val-records", va],
+                str(tmp_path / "run_rec"))
+    assert w_dir.keys() == w_rec.keys()
+    for k in w_dir:
+        np.testing.assert_array_equal(w_dir[k], w_rec[k], err_msg=k)
+
+
+def test_pack_records_cli(fake_voc, tmp_path):  # noqa: F811
+    """tools/pack_records.py end-to-end via its main()."""
+    from tools import pack_records as cli
+
+    root, lists = fake_voc
+    out = str(tmp_path / "cli.duplrec")
+    argv = sys.argv
+    sys.argv = ["pack_records.py", "--dataset", "voc", "--data-folder", root,
+                "--list-folder", lists, "--split", "val", "--out", out]
+    try:
+        cli.main()
+    finally:
+        sys.argv = argv
+    from dupl_tpu.data.records import RecordStore
+    assert len(RecordStore(out)) == 8

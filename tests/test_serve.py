@@ -178,6 +178,32 @@ def test_from_artifact_rejects_wrong_kind_and_topology(tmp_path):
         InferenceSession.from_artifact(p2)
 
 
+def test_batcher_close_fails_pending_requests():
+    """Requests still queued when the batcher shuts down must get an
+    exception immediately, not hang until the HTTP timeout."""
+    started = threading.Event()
+    release = threading.Event()
+
+    def run(batch):
+        started.set()
+        release.wait(timeout=10)
+        return np.zeros((batch.shape[0], 16, 16), np.uint8)
+
+    s = InferenceSession(run, batch_size=1, crop_size=16, num_classes=21)
+    b = Batcher(s, max_delay_s=0.001)
+    img = np.zeros((16, 16, 3), np.uint8)
+    first = b.submit(img)          # occupies the worker inside run()
+    started.wait(timeout=10)
+    pending = b.submit(img)        # still queued behind it
+    # close while the worker is wedged in run(): the join times out and the
+    # drain must fail the queued request without waiting on the worker
+    b.close()
+    with pytest.raises(RuntimeError, match="batcher closed"):
+        pending.result(timeout=10)
+    release.set()                  # let the wedged worker finish `first`
+    assert first.result(timeout=10).shape == (16, 16)
+
+
 def test_http_oversized_body_is_413(http_server, monkeypatch):
     from dupl_tpu.engine import serve as serve_mod
 

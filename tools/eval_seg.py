@@ -24,7 +24,11 @@ def main():
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", choices=["voc", "coco"], default="voc")
-    p.add_argument("--data-folder", required=True)
+    p.add_argument("--data-folder", default=None,
+                   help="dataset directory tree (or --records packed shard)")
+    p.add_argument("--records", default=None,
+                   help=".duplrec shard for the eval split "
+                        "(tools/pack_records.py); replaces --data-folder")
     p.add_argument("--list-folder", default=None)
     p.add_argument("--label-folder", default=None, help="COCO masks root")
     p.add_argument("--weights", required=True, help="weights .npz from training")
@@ -77,23 +81,38 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "datasets", args.dataset)
 
+    if not args.data_folder and not args.records:
+        raise SystemExit("either --data-folder or --records is required")
     if args.dataset == "voc":
-        from dupl_tpu.data.voc import VocSegDataset
         split = args.infer_set or "val"
-        ds = VocSegDataset(args.data_folder, list_folder, split,
-                           stage="test" if split == "test" else "val",
-                           num_classes=cfg.num_classes,
-                           transfer_dtype=args.transfer_dtype)
+        stage = "test" if split == "test" else "val"
+        if args.records:
+            from dupl_tpu.data.records import RecordVocSegDataset
+            ds = RecordVocSegDataset(args.records, stage=stage,
+                                     num_classes=cfg.num_classes,
+                                     transfer_dtype=args.transfer_dtype)
+        else:
+            from dupl_tpu.data.voc import VocSegDataset
+            ds = VocSegDataset(args.data_folder, list_folder, split,
+                               stage=stage,
+                               num_classes=cfg.num_classes,
+                               transfer_dtype=args.transfer_dtype)
         scales = tuple(args.scales or (1.0, 1.5, 1.25))
         merge = "max"  # eval_seg_voc.py:76-77
         merge_at = "input"
     else:
-        from dupl_tpu.data.coco import CocoSegDataset
-        ds = CocoSegDataset(args.data_folder, list_folder,
-                            args.infer_set or "val_part",
-                            num_classes=cfg.num_classes,
-                            label_folder=args.label_folder,
-                            transfer_dtype=args.transfer_dtype)
+        if args.records:
+            from dupl_tpu.data.records import RecordCocoSegDataset
+            ds = RecordCocoSegDataset(args.records,
+                                      num_classes=cfg.num_classes,
+                                      transfer_dtype=args.transfer_dtype)
+        else:
+            from dupl_tpu.data.coco import CocoSegDataset
+            ds = CocoSegDataset(args.data_folder, list_folder,
+                                args.infer_set or "val_part",
+                                num_classes=cfg.num_classes,
+                                label_folder=args.label_folder,
+                                transfer_dtype=args.transfer_dtype)
         scales = tuple(args.scales or (1.0, 1.25, 1.5))
         merge = "sum"  # eval_seg_coco_ddp.py:120-121
         merge_at = "decoder"  # COCO merges at the scale-1.0 seg grid (:93-121)

@@ -29,8 +29,15 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", choices=["voc", "coco"], default="voc")
-    p.add_argument("--data-folder", required=True)
+    p.add_argument("--data-folder", default=None,
+                   help="dataset directory tree (or use --train-records/"
+                        "--val-records packed shards instead)")
     p.add_argument("--list-folder", default=None)
+    p.add_argument("--train-records", default=None,
+                   help=".duplrec shard for the train split "
+                        "(tools/pack_records.py); replaces --data-folder")
+    p.add_argument("--val-records", default=None,
+                   help=".duplrec shard for the val split")
     p.add_argument("--work-dir", default="work_dir")
     p.add_argument("--comment", default="")
     p.add_argument("--pretrained", default=None,
@@ -138,6 +145,9 @@ def main():
             num_processes=_env_int("JAX_NUM_PROCESSES"),
             process_id=_env_int("JAX_PROCESS_ID"))
 
+    if not args.data_folder and not (args.train_records and args.val_records):
+        raise SystemExit("either --data-folder or --train-records + "
+                         "--val-records is required")
     cfg = build_config(args)
     list_folder = args.list_folder or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -172,7 +182,27 @@ def main():
     log.info("config: %s", json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 
     # data ---------------------------------------------------------------
-    if args.dataset == "voc":
+    if args.train_records or args.val_records:
+        # packed-shard feed (tools/pack_records.py): one sequential file per
+        # split instead of the directory tree; samples are pixel-identical
+        # to the directory datasets (tests/test_records.py)
+        from dupl_tpu.data import records
+        if not (args.train_records and args.val_records):
+            raise SystemExit("--train-records and --val-records go together "
+                             "(mixing a packed train feed with a directory "
+                             "val feed is almost never intended)")
+        cls_cls = (records.RecordVocClsDataset if args.dataset == "voc"
+                   else records.RecordCocoClsDataset)
+        seg_cls = (records.RecordVocSegDataset if args.dataset == "voc"
+                   else records.RecordCocoSegDataset)
+        train_ds = cls_cls(args.train_records, crop_size=cfg.data.crop_size,
+                           rescale_range=cfg.data.rescale_range,
+                           num_classes=cfg.num_classes,
+                           ignore_index=cfg.ignore_index,
+                           transfer_dtype=args.transfer_dtype)
+        val_ds = seg_cls(args.val_records, num_classes=cfg.num_classes,
+                         transfer_dtype=args.transfer_dtype)
+    elif args.dataset == "voc":
         from dupl_tpu.data.voc import VocClsDataset, VocSegDataset
         train_ds = VocClsDataset(args.data_folder, list_folder, cfg.data.train_split,
                                  crop_size=cfg.data.crop_size,
