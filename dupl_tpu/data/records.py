@@ -30,6 +30,7 @@ unchanged.
 
 from __future__ import annotations
 
+import glob
 import io
 import json
 import os
@@ -99,22 +100,42 @@ def pack_records(out_path: str, names: Sequence[str],
     return index
 
 
+def _sharded(out_path: str, shards: int):
+    """['x-00000-of-00004.duplrec', ...] split paths for ``shards`` > 1."""
+    if shards <= 1:
+        return [out_path]
+    stem, ext = os.path.splitext(out_path)
+    return [f"{stem}-{i:05d}-of-{shards:05d}{ext}" for i in range(shards)]
+
+
+def _pack_split(out_path: str, shards: int, names, img, lab, cls):
+    paths = _sharded(out_path, shards)
+    bounds = np.linspace(0, len(names), len(paths) + 1).astype(int)
+    for p, lo, hi in zip(paths, bounds[:-1], bounds[1:]):
+        pack_records(p, names[lo:hi], img[lo:hi],
+                     None if lab is None else lab[lo:hi], cls)
+    return len(names)
+
+
 def pack_voc(root_dir: str, name_list_dir: str, split: str, out_path: str, *,
-             with_labels: bool = True, with_cls: bool = True) -> int:
+             with_labels: bool = True, with_cls: bool = True,
+             shards: int = 1) -> int:
     """Pack a VOC split (JPEGImages + SegmentationClassAug +
-    cls_labels_onehot.npy) into one shard.  Returns the sample count."""
+    cls_labels_onehot.npy).  ``shards`` > 1 writes contiguous
+    ``-NNNNN-of-NNNNN`` pieces (parallel-packable, read back with a glob).
+    Returns the sample count."""
     names = voc_data.load_name_list(os.path.join(name_list_dir, split + ".txt"))
     img = [os.path.join(root_dir, "JPEGImages", n + ".jpg") for n in names]
     lab = ([os.path.join(root_dir, "SegmentationClassAug", n + ".png")
             for n in names] if with_labels else None)
     cls = voc_data.load_cls_labels(name_list_dir) if with_cls else None
-    pack_records(out_path, names, img, lab, cls)
-    return len(names)
+    return _pack_split(out_path, shards, names, img, lab, cls)
 
 
 def pack_coco(root_dir: str, name_list_dir: str, split: str, out_path: str, *,
               label_folder: Optional[str] = None,
-              with_labels: bool = True, with_cls: bool = True) -> int:
+              with_labels: bool = True, with_cls: bool = True,
+              shards: int = 1) -> int:
     """Pack a COCO split (train2014/val2014 subdirs keyed by name prefix,
     coco.py:61-71 semantics via :func:`coco_data._subdir`)."""
     names = voc_data.load_name_list(os.path.join(name_list_dir, split + ".txt"))
@@ -130,25 +151,43 @@ def pack_coco(root_dir: str, name_list_dir: str, split: str, out_path: str, *,
             cls = voc_data.load_cls_labels(name_list_dir)
         except FileNotFoundError:
             cls = None  # regenerable from masks; datasets fall back lazily
-    pack_records(out_path, names, img, lab, cls)
-    return len(names)
+    return _pack_split(out_path, shards, names, img, lab, cls)
 
 
 class RecordStore:
     """Read side: parse the index once, then positionless ``os.pread`` blob
-    reads shared across loader worker threads."""
+    reads shared across loader worker threads.
 
-    def __init__(self, path: str):
-        self.path = path
-        with open(path, "rb") as f:
-            magic = f.read(len(MAGIC))
-            if magic != MAGIC:
-                raise ValueError(f"{path}: not a duplrec shard (magic {magic!r})")
-            (n,) = struct.unpack("<Q", f.read(8))
-            index = json.loads(f.read(n).decode("utf-8"))
-            self._blob0 = f.tell()
-        self._fd = os.open(path, os.O_RDONLY)
-        self.entries = index["entries"]
+    ``path`` may be a single shard, a glob (``voc-*.duplrec``), or a list of
+    shard paths — multi-shard splits (packed in parallel with
+    ``tools/pack_records.py --shards N``) present as one concatenated
+    dataset in shard order."""
+
+    def __init__(self, path):
+        if isinstance(path, str):
+            paths = sorted(glob.glob(path)) if any(
+                c in path for c in "*?[") else [path]
+            if not paths:
+                raise FileNotFoundError(f"no shards match {path!r}")
+        else:
+            paths = list(path)
+        self.path = paths[0] if len(paths) == 1 else f"{paths[0]} (+{len(paths) - 1})"
+        self.entries: List[dict] = []
+        self._fds: List[int] = []
+        for shard_i, p in enumerate(paths):
+            with open(p, "rb") as f:
+                magic = f.read(len(MAGIC))
+                if magic != MAGIC:
+                    raise ValueError(
+                        f"{p}: not a duplrec shard (magic {magic!r})")
+                (n,) = struct.unpack("<Q", f.read(8))
+                index = json.loads(f.read(n).decode("utf-8"))
+                blob0 = f.tell()
+            self._fds.append(os.open(p, os.O_RDONLY))
+            for e in index["entries"]:
+                e["_shard"] = shard_i
+                e["_blob0"] = blob0
+                self.entries.append(e)
         self.names: List[str] = [e["name"] for e in self.entries]
         self.sizes: List[Tuple[int, int]] = [tuple(e["size"]) for e in self.entries]
         self._by_name = {e["name"]: e for e in self.entries}
@@ -160,19 +199,20 @@ class RecordStore:
     def __len__(self):
         return len(self.entries)
 
-    def _read(self, span) -> bytes:
+    def _read(self, e: dict, span) -> bytes:
         off, length = span
-        return os.pread(self._fd, length, self._blob0 + off)
+        return os.pread(self._fds[e["_shard"]], length, e["_blob0"] + off)
 
     def image_bytes(self, name: str) -> bytes:
-        return self._read(self._by_name[name]["image"])
+        e = self._by_name[name]
+        return self._read(e, e["image"])
 
     def label_bytes(self, name: str) -> bytes:
         e = self._by_name[name]
         if "label" not in e:
             raise KeyError(f"{self.path}: no mask packed for {name!r} "
                            "(packed with with_labels=False?)")
-        return self._read(e["label"])
+        return self._read(e, e["label"])
 
     def decode_image(self, name: str) -> np.ndarray:
         # .convert("RGB") = the directory datasets' grayscale promotion
@@ -183,9 +223,9 @@ class RecordStore:
         return np.asarray(Image.open(io.BytesIO(self.label_bytes(name))))
 
     def close(self):
-        if self._fd is not None:
-            os.close(self._fd)
-            self._fd = None
+        for fd in self._fds:
+            os.close(fd)
+        self._fds = []
 
 
 class _RecordIO:

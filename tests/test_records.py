@@ -122,6 +122,36 @@ def test_records_through_prefetch_loader(fake_voc, tmp_path):  # noqa: F811
         _assert_samples_equal(a, b)
 
 
+def test_sharded_pack_and_glob_read(fake_voc, tmp_path):  # noqa: F811
+    """--shards N packing: three shard files read back through a glob must
+    present the same dataset, in the same order, as the single shard."""
+    from dupl_tpu.data.records import RecordStore, RecordVocClsDataset, pack_voc
+    from dupl_tpu.data.voc import VocClsDataset
+
+    root, lists = fake_voc
+    single = str(tmp_path / "one.duplrec")
+    pack_voc(root, lists, "train_aug", single)
+    sharded = str(tmp_path / "many.duplrec")
+    n = pack_voc(root, lists, "train_aug", sharded, shards=3)
+    assert n == 8
+    pieces = sorted(os.listdir(tmp_path))
+    assert "many-00000-of-00003.duplrec" in pieces
+    assert "many-00002-of-00003.duplrec" in pieces
+
+    st1 = RecordStore(single)
+    stm = RecordStore(str(tmp_path / "many-*.duplrec"))
+    assert stm.names == st1.names and stm.sizes == st1.sizes
+
+    dir_ds = VocClsDataset(root, lists, "train_aug", crop_size=64)
+    rec_ds = RecordVocClsDataset(str(tmp_path / "many-*.duplrec"), crop_size=64)
+    for i in range(len(dir_ds)):
+        _assert_samples_equal(dir_ds.__getitem__(i, seed=9 + i),
+                              rec_ds.__getitem__(i, seed=9 + i))
+
+    with pytest.raises(FileNotFoundError, match="no shards match"):
+        RecordStore(str(tmp_path / "absent-*.duplrec"))
+
+
 def test_record_store_rejects_garbage_and_guards(tmp_path):
     from dupl_tpu.data.records import (RecordStore, RecordVocClsDataset,
                                        pack_records)

@@ -27,18 +27,22 @@ def main():
                    help="skip packing segmentation masks (cls-only training)")
     p.add_argument("--no-cls", action="store_true",
                    help="skip embedding image-level one-hot labels")
+    p.add_argument("--shards", type=int, default=1,
+                   help="split the output into N contiguous shard files "
+                        "(-NNNNN-of-NNNNN suffix); read back with a glob")
     args = p.parse_args()
 
     if args.dataset == "voc":
         n = records.pack_voc(args.data_folder, args.list_folder, args.split,
                              args.out, with_labels=not args.no_masks,
-                             with_cls=not args.no_cls)
+                             with_cls=not args.no_cls, shards=args.shards)
     else:
         n = records.pack_coco(args.data_folder, args.list_folder, args.split,
                               args.out, label_folder=args.label_folder,
                               with_labels=not args.no_masks,
-                              with_cls=not args.no_cls)
-    print(f"packed {n} samples ({args.dataset}/{args.split}) -> {args.out}")
+                              with_cls=not args.no_cls, shards=args.shards)
+    print(f"packed {n} samples ({args.dataset}/{args.split}) -> {args.out}"
+          + (f" ({args.shards} shards)" if args.shards > 1 else ""))
 
 
 if __name__ == "__main__":
