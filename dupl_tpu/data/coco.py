@@ -24,12 +24,20 @@ def _subdir(name: str) -> str:
     return "train2014" if "train" in name else "val2014"
 
 
+def default_label_folder(root_dir: str) -> str:
+    """Mask root when --label-folder is omitted: the ``SegmentationClass``
+    sibling of the image root (the reference's layout, README.md:62-74).
+    Shared with the record packer so packed and directory feeds read the
+    same masks."""
+    return os.path.join(os.path.dirname(root_dir.rstrip("/")),
+                        "SegmentationClass")
+
+
 class CocoDatasetBase:
     def __init__(self, root_dir: str, name_list_dir: str, split: str,
                  label_folder: Optional[str] = None):
         self.root_dir = root_dir
-        self.label_folder = label_folder or os.path.join(
-            os.path.dirname(root_dir.rstrip("/")), "SegmentationClass")
+        self.label_folder = label_folder or default_label_folder(root_dir)
         self.name_list = [
             x.strip() for x in open(os.path.join(name_list_dir, split + ".txt"))
             if x.strip()

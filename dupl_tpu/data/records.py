@@ -139,8 +139,7 @@ def pack_coco(root_dir: str, name_list_dir: str, split: str, out_path: str, *,
     """Pack a COCO split (train2014/val2014 subdirs keyed by name prefix,
     coco.py:61-71 semantics via :func:`coco_data._subdir`)."""
     names = voc_data.load_name_list(os.path.join(name_list_dir, split + ".txt"))
-    label_folder = label_folder or os.path.join(
-        os.path.dirname(root_dir.rstrip("/")), "SegmentationClass")
+    label_folder = label_folder or coco_data.default_label_folder(root_dir)
     img = [os.path.join(root_dir, coco_data._subdir(n), n + ".jpg")
            for n in names]
     lab = ([os.path.join(label_folder, coco_data._subdir(n), n + ".png")
@@ -165,10 +164,17 @@ class RecordStore:
 
     def __init__(self, path):
         if isinstance(path, str):
-            paths = sorted(glob.glob(path)) if any(
-                c in path for c in "*?[") else [path]
-            if not paths:
-                raise FileNotFoundError(f"no shards match {path!r}")
+            # a literal path wins over glob interpretation, so files whose
+            # names happen to contain metacharacters ('voc[2012].duplrec')
+            # still open
+            if os.path.exists(path):
+                paths = [path]
+            elif any(c in path for c in "*?["):
+                paths = sorted(glob.glob(path))
+                if not paths:
+                    raise FileNotFoundError(f"no shards match {path!r}")
+            else:
+                raise FileNotFoundError(path)
         else:
             paths = list(path)
         self.path = paths[0] if len(paths) == 1 else f"{paths[0]} (+{len(paths) - 1})"
@@ -192,12 +198,27 @@ class RecordStore:
         self.sizes: List[Tuple[int, int]] = [tuple(e["size"]) for e in self.entries]
         self._by_name = {e["name"]: e for e in self.entries}
         self.cls_labels: Optional[Dict[str, np.ndarray]] = None
-        if self.entries and "cls" in self.entries[0]:
+        n_cls = sum("cls" in e for e in self.entries)
+        if n_cls and n_cls != len(self.entries):
+            # mixed shards (some packed --no-cls) would either crash on a
+            # raw KeyError or silently drop the packed labels depending on
+            # shard order — fail loudly instead
+            raise ValueError(
+                f"{self.path}: {n_cls}/{len(self.entries)} samples carry a "
+                "cls label — shards were packed with inconsistent with_cls; "
+                "re-pack the split uniformly")
+        if n_cls:
             self.cls_labels = {e["name"]: np.asarray(e["cls"], np.float32)
                                for e in self.entries}
 
     def __len__(self):
         return len(self.entries)
+
+    def __del__(self):
+        try:  # datasets hold the store for their lifetime; release the
+            self.close()  # per-shard fds when the store itself is collected
+        except Exception:
+            pass
 
     def _read(self, e: dict, span) -> bytes:
         off, length = span

@@ -21,6 +21,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence
 
@@ -148,6 +149,11 @@ class Batcher:
 
     def submit(self, image: np.ndarray) -> "Future[np.ndarray]":
         fut: "Future[np.ndarray]" = Future()
+        if self._stop.is_set():
+            # a handler thread racing shutdown must fail fast, not enqueue
+            # into a queue nobody drains and hang in result(timeout=300)
+            fut.set_exception(RuntimeError("batcher closed"))
+            return fut
         self._q.put((image, fut))
         return fut
 
@@ -263,7 +269,9 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
                 return
             try:
                 pred = batcher.submit(img).result(timeout=300)
-            except TimeoutError as exc:
+            except (TimeoutError, FuturesTimeoutError) as exc:
+                # concurrent.futures.TimeoutError only aliases the builtin
+                # from Python 3.11; catch both for the 3.10 floor
                 self._json(504, {"error": f"inference timed out: {exc}"})
                 return
             except Exception as exc:

@@ -152,6 +152,22 @@ def test_sharded_pack_and_glob_read(fake_voc, tmp_path):  # noqa: F811
         RecordStore(str(tmp_path / "absent-*.duplrec"))
 
 
+def test_mixed_cls_shards_rejected(fake_voc, tmp_path):  # noqa: F811
+    """Shards packed with inconsistent with_cls must fail loudly at load,
+    not crash with a raw KeyError or silently drop labels by shard order."""
+    from dupl_tpu.data.records import RecordStore, pack_voc
+
+    root, lists = fake_voc
+    a = str(tmp_path / "mix-00000-of-00002.duplrec")
+    b = str(tmp_path / "mix-00001-of-00002.duplrec")
+    pack_voc(root, lists, "train_aug", a, with_cls=True)
+    pack_voc(root, lists, "val", b, with_cls=False)
+    with pytest.raises(ValueError, match="inconsistent with_cls"):
+        RecordStore([a, b])
+    with pytest.raises(ValueError, match="inconsistent with_cls"):
+        RecordStore([b, a])  # order-independent
+
+
 def test_record_store_rejects_garbage_and_guards(tmp_path):
     from dupl_tpu.data.records import (RecordStore, RecordVocClsDataset,
                                        pack_records)

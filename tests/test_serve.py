@@ -200,6 +200,11 @@ def test_batcher_close_fails_pending_requests():
     b.close()
     with pytest.raises(RuntimeError, match="batcher closed"):
         pending.result(timeout=10)
+    # submits racing shutdown fail fast instead of enqueueing into the
+    # drained queue and hanging until the HTTP timeout
+    late = b.submit(img)
+    with pytest.raises(RuntimeError, match="batcher closed"):
+        late.result(timeout=10)
     release.set()                  # let the wedged worker finish `first`
     assert first.result(timeout=10).shape == (16, 16)
 
