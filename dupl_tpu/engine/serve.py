@@ -145,7 +145,19 @@ class Batcher:
         self._q: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._stop = threading.Event()
+        # dispatch-level counters for the /metrics endpoint
+        self._stats_lock = threading.Lock()
+        self._stats = {"dispatches": 0, "samples": 0, "failed_dispatches": 0,
+                       "dispatch_seconds": 0.0}
         self._worker.start()
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            s = dict(self._stats)
+        d = max(1, s["dispatches"])
+        s["avg_batch"] = round(s["samples"] / d, 3)
+        s["avg_dispatch_ms"] = round(1e3 * s["dispatch_seconds"] / d, 3)
+        return s
 
     def submit(self, image: np.ndarray) -> "Future[np.ndarray]":
         fut: "Future[np.ndarray]" = Future()
@@ -190,14 +202,23 @@ class Batcher:
                 if nxt is None:
                     break
                 items.append(nxt)
+            t0 = time.monotonic()
             try:
                 preds = self.session.predict([im for im, _ in items])
                 for (_, fut), pred in zip(items, preds):
                     fut.set_result(pred)
+                ok = True
             except Exception as exc:  # propagate to every waiter
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(exc)
+                ok = False
+            with self._stats_lock:
+                self._stats["dispatches"] += 1
+                self._stats["samples"] += len(items)
+                self._stats["dispatch_seconds"] += time.monotonic() - t0
+                if not ok:
+                    self._stats["failed_dispatches"] += 1
 
 
 def _decode_image(body: bytes, content_type: str) -> np.ndarray:
@@ -227,6 +248,18 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
     Returns the (not yet serving) ThreadingHTTPServer; callers drive
     ``serve_forever`` on their own thread."""
     session = batcher.session
+    # request-level counters (handler threads); dispatch-level live in the
+    # batcher — GET /metrics merges both
+    req_lock = threading.Lock()
+    req_stats = {"requests": 0, "responses_2xx": 0, "responses_4xx": 0,
+                 "responses_5xx": 0}
+
+    def _count(code: int) -> None:
+        with req_lock:
+            req_stats["requests"] += 1
+            bucket = ("responses_2xx" if code < 400 else
+                      "responses_4xx" if code < 500 else "responses_5xx")
+            req_stats[bucket] += 1
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default; fronting logs belong
@@ -240,6 +273,10 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(blob)
 
+        def _json_counted(self, code: int, obj: dict) -> None:
+            _count(code)
+            self._json(code, obj)
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok",
@@ -247,38 +284,46 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
                                  "crop_size": session.crop_size,
                                  "num_classes": session.num_classes,
                                  **session.meta})
+            elif self.path == "/metrics":
+                with req_lock:
+                    merged = dict(req_stats)
+                self._json(200, {**merged, **batcher.stats()})
             else:
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
             if self.path != "/v1/segment":
-                self._json(404, {"error": "unknown path"})
+                self._json_counted(404, {"error": "unknown path"})
                 return
             # client-side errors (bad body / undecodable image) -> 400;
             # server-side inference failures -> 500; batcher timeout -> 504
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 if n > MAX_BODY_BYTES:
-                    self._json(413, {"error": f"body {n} bytes exceeds "
-                                              f"limit {MAX_BODY_BYTES}"})
+                    self._json_counted(
+                        413, {"error": f"body {n} bytes exceeds "
+                                       f"limit {MAX_BODY_BYTES}"})
                     return
                 img = _decode_image(self.rfile.read(n),
                                     self.headers.get("Content-Type", ""))
             except Exception as exc:
-                self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+                self._json_counted(
+                    400, {"error": f"{type(exc).__name__}: {exc}"})
                 return
             try:
                 pred = batcher.submit(img).result(timeout=300)
             except (TimeoutError, FuturesTimeoutError) as exc:
                 # concurrent.futures.TimeoutError only aliases the builtin
                 # from Python 3.11; catch both for the 3.10 floor
-                self._json(504, {"error": f"inference timed out: {exc}"})
+                self._json_counted(
+                    504, {"error": f"inference timed out: {exc}"})
                 return
             except Exception as exc:
                 # ValueError from predict() means the request violated the
                 # program's input contract (shape/dtype) — still the client
                 code = 400 if isinstance(exc, ValueError) else 500
-                self._json(code, {"error": f"{type(exc).__name__}: {exc}"})
+                self._json_counted(
+                    code, {"error": f"{type(exc).__name__}: {exc}"})
                 return
             if self.headers.get("Accept") == "application/x-npy":
                 buf = io.BytesIO()
@@ -286,6 +331,7 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
                 blob, ctype = buf.getvalue(), "application/x-npy"
             else:
                 blob, ctype = _encode_png(pred), "image/png"
+            _count(200)
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(blob)))

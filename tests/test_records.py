@@ -244,6 +244,18 @@ def test_train_cli_records_matches_directory(tmp_path):
     for k in w_dir:
         np.testing.assert_array_equal(w_dir[k], w_rec[k], err_msg=k)
 
+    # the machine-readable metrics log rides along: train lines at every
+    # log_iters boundary + a val line at eval_iters
+    import json
+
+    (mpath,) = glob.glob(str(tmp_path / "run_rec" / "*" / "metrics.jsonl"))
+    recs = [json.loads(l) for l in open(mpath)]
+    train = [r for r in recs if r["event"] == "train"]
+    val = [r for r in recs if r["event"] == "val"]
+    assert [r["step"] for r in train] == [2, 4] and len(val) == 1
+    assert {"lr", "phase", "loss", "cls_loss"} <= set(train[0])
+    assert {"seg_1_miou", "cls_f1_1"} <= set(val[0])
+
 
 def test_pack_records_cli(fake_voc, tmp_path):  # noqa: F811
     """tools/pack_records.py end-to-end via its main()."""

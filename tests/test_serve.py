@@ -118,6 +118,31 @@ def test_http_segment_npy_and_png(http_server):
     assert (np.asarray(out) == 9).all()
 
 
+def test_http_metrics_endpoint(http_server):
+    """GET /metrics: request counters (by status class) merged with the
+    batcher's dispatch stats."""
+    import json
+
+    img = np.full((16, 16, 3), 3, np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    _post(http_server + "/v1/segment", buf.getvalue(), "application/x-npy",
+          accept="application/x-npy")
+    req = urllib.request.Request(http_server + "/v1/segment",
+                                 data=b"garbage", method="POST",
+                                 headers={"Content-Type": "image/png"})
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(req, timeout=30)
+
+    with urllib.request.urlopen(http_server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 2
+    assert m["responses_2xx"] >= 1 and m["responses_4xx"] >= 1
+    assert m["dispatches"] >= 1 and m["samples"] >= 1
+    assert m["avg_batch"] >= 1 and m["avg_dispatch_ms"] >= 0
+    assert m["failed_dispatches"] == 0
+
+
 def test_http_bad_body_is_400(http_server):
     req = urllib.request.Request(http_server + "/v1/segment",
                                  data=b"not an image", method="POST",

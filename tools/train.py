@@ -178,6 +178,17 @@ def main():
     # processes log to console only
     log = setup_logger(os.path.join(work_dir, "train.log")
                        if proc_idx == 0 else None)
+
+    # machine-readable twin of the text log (process 0 only): one JSON line
+    # per log/eval event, for downstream analysis without regex-scraping
+    # train.log (the reference offers only the text log + tensorboard)
+    metrics_path = (os.path.join(work_dir, "metrics.jsonl")
+                    if proc_idx == 0 else None)
+
+    def jlog(**rec):
+        if metrics_path:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
     log.info("jax %s devices %s", jax.__version__, jax.devices())
     log.info("config: %s", json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 
@@ -335,6 +346,10 @@ def main():
                 tb.scalar("train/cls_f1", cls_score, step + 1)
                 tb.scalar("lr", lr, step + 1)
                 tb.scalar("perf/s_per_iter", dt, step + 1)
+                jlog(event="train", step=step + 1, lr=lr,
+                     phase=phase_of(cfg, step), s_per_iter=round(dt, 4),
+                     loss=round(total_loss, 6), cls_f1=round(cls_score, 4),
+                     **{k: round(v, 6) for k, v in losses.items()})
                 if tb.enabled and n_proc == 1:
                     # dev_batch is a GLOBAL array: recreating CAMs for the
                     # grid from one process only would stall the others'
@@ -375,6 +390,12 @@ def main():
                     for k in ("cam_1", "cam_2", "cam_aux_1", "cam_aux_2",
                               "seg_1", "seg_2"):
                         tb.scalar(f"val/{k}_miou", res[f"{k}_miou"], step + 1)
+                    jlog(event="val", step=step + 1,
+                         cls_f1_1=round(res["cls_f1_1"], 4),
+                         cls_f1_2=round(res["cls_f1_2"], 4),
+                         **{f"{k}_miou": round(res[f"{k}_miou"], 4)
+                            for k in ("cam_1", "cam_2", "cam_aux_1",
+                                      "cam_aux_2", "seg_1", "seg_2")})
 
             step += 1
 
