@@ -257,6 +257,59 @@ def test_train_cli_records_matches_directory(tmp_path):
     assert {"seg_1_miou", "cls_f1_1"} <= set(val[0])
 
 
+@pytest.mark.slow
+def test_eval_cli_records_matches_directory(tmp_path):
+    """tools/eval_seg.py --records: identical scores + identical branch pick
+    to the directory-fed run on the same shard contents."""
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from make_fake_voc import make_tree
+
+    import jax
+    import jax.numpy as jnp
+    from dupl_tpu.config import ModelConfig, DataConfig, voc_config
+    from dupl_tpu.engine import checkpoint as ckpt
+    from dupl_tpu.models.network import DualStudent
+
+    tree = str(tmp_path / "voc")
+    make_tree(tree, n=6, size=96)
+    from dupl_tpu.data.records import pack_voc
+    shard = str(tmp_path / "val.duplrec")
+    pack_voc(tree, os.path.join(tree, "lists"), "val", shard)
+
+    cfg = voc_config(model=ModelConfig(backbone="test_tiny_patch16",
+                                       compute_dtype="float32"),
+                     data=DataConfig(crop_size=64))
+    model = DualStudent(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    wpath = str(tmp_path / "w.npz")
+    ckpt.export_weights(wpath, params)
+
+    env = dict(os.environ)
+    for k in ("PYTHONPATH", "PALLAS_AXON_POOL_IPS", "XLA_FLAGS"):
+        env.pop(k, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    base = [sys.executable, os.path.join(repo, "tools", "eval_seg.py"),
+            "--dataset", "voc", "--weights", wpath,
+            "--backbone", "test_tiny_patch16", "--crop-size", "64",
+            "--crf", "none", "--batch-size", "2"]
+
+    def run(extra):
+        r = subprocess.run(base + extra, env=env, capture_output=True,
+                           text=True, timeout=900)
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        return re.findall(r"mIoU\S*\s+[\d.]+", r.stdout + r.stderr), r.stdout
+
+    s_dir, out_dir = run(["--data-folder", tree,
+                          "--list-folder", os.path.join(tree, "lists")])
+    s_rec, out_rec = run(["--records", shard])
+    assert s_dir and s_dir == s_rec, (out_dir, out_rec)
+
+
 def test_pack_records_cli(fake_voc, tmp_path):  # noqa: F811
     """tools/pack_records.py end-to-end via its main()."""
     from tools import pack_records as cli
