@@ -205,20 +205,26 @@ class Batcher:
             t0 = time.monotonic()
             try:
                 preds = self.session.predict([im for im, _ in items])
-                for (_, fut), pred in zip(items, preds):
-                    fut.set_result(pred)
-                ok = True
-            except Exception as exc:  # propagate to every waiter
-                for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(exc)
-                ok = False
+                err = None
+            except Exception as exc:
+                preds, err = None, exc
+
+            # account the dispatch BEFORE resolving futures: a client whose
+            # response just completed must see its dispatch in /metrics
             with self._stats_lock:
                 self._stats["dispatches"] += 1
                 self._stats["samples"] += len(items)
                 self._stats["dispatch_seconds"] += time.monotonic() - t0
-                if not ok:
+                if err is not None:
                     self._stats["failed_dispatches"] += 1
+
+            if err is None:
+                for (_, fut), pred in zip(items, preds):
+                    fut.set_result(pred)
+            else:  # propagate to every waiter
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(err)
 
 
 def _decode_image(body: bytes, content_type: str) -> np.ndarray:
@@ -278,18 +284,20 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
             self._json(code, obj)
 
         def do_GET(self):
+            # GETs count too — "requests" means total HTTP traffic, not just
+            # segment posts (a 404 probe is a 4xx either way)
             if self.path == "/healthz":
-                self._json(200, {"status": "ok",
-                                 "batch_size": session.batch_size,
-                                 "crop_size": session.crop_size,
-                                 "num_classes": session.num_classes,
-                                 **session.meta})
+                self._json_counted(200, {"status": "ok",
+                                         "batch_size": session.batch_size,
+                                         "crop_size": session.crop_size,
+                                         "num_classes": session.num_classes,
+                                         **session.meta})
             elif self.path == "/metrics":
                 with req_lock:
                     merged = dict(req_stats)
-                self._json(200, {**merged, **batcher.stats()})
+                self._json_counted(200, {**merged, **batcher.stats()})
             else:
-                self._json(404, {"error": "unknown path"})
+                self._json_counted(404, {"error": "unknown path"})
 
         def do_POST(self):
             if self.path != "/v1/segment":
@@ -325,12 +333,19 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
                 self._json_counted(
                     code, {"error": f"{type(exc).__name__}: {exc}"})
                 return
-            if self.headers.get("Accept") == "application/x-npy":
-                buf = io.BytesIO()
-                np.save(buf, pred)
-                blob, ctype = buf.getvalue(), "application/x-npy"
-            else:
-                blob, ctype = _encode_png(pred), "image/png"
+            try:
+                if self.headers.get("Accept") == "application/x-npy":
+                    buf = io.BytesIO()
+                    np.save(buf, pred)
+                    blob, ctype = buf.getvalue(), "application/x-npy"
+                else:
+                    blob, ctype = _encode_png(pred), "image/png"
+            except Exception as exc:  # encode failure must still be counted
+                self._json_counted(
+                    500, {"error": f"encode: {type(exc).__name__}: {exc}"})
+                return
+            # counted at send time; a client that disconnects mid-write is
+            # still a served 2xx from the server's accounting perspective
             _count(200)
             self.send_response(200)
             self.send_header("Content-Type", ctype)

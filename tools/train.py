@@ -255,6 +255,15 @@ def main():
     if args.resume and ckpt.latest_step(ckpt_dir) is not None:
         state = ckpt.restore_state(ckpt_dir, state)
         log.info("resumed from step %d", int(state.step))
+        if metrics_path and os.path.exists(metrics_path):
+            # drop jsonl records beyond the restored step: the resumed run
+            # re-executes those steps and would otherwise append duplicate,
+            # conflicting lines for the same step (the file exists for
+            # programmatic consumption — keep it single-valued per step)
+            kept = [l for l in open(metrics_path)
+                    if json.loads(l).get("step", 0) <= int(state.step)]
+            with open(metrics_path, "w") as f:
+                f.writelines(kept)
     elif args.pretrained:
         enc = load_deit_checkpoint(args.pretrained, cfg.model.depth)
         state = state._replace(
