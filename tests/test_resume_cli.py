@@ -50,6 +50,62 @@ def _weights(pattern):
     return dict(np.load(w))
 
 
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption safety: SIGTERM mid-run must checkpoint and exit 0 (the
+    spot-VM grace-window contract), and --resume must pick up from exactly
+    that step."""
+    import signal
+    import time
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_fake_voc import make_tree
+
+    tree = str(tmp_path / "voc")
+    make_tree(tree, n=8, size=96)
+    root = str(tmp_path / "run")
+
+    proc = subprocess.Popen(_cmd(tree, root, 400), env=_env(),
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    # wait until training is demonstrably under way (first logged step)
+    deadline = time.monotonic() + 600
+    run_dir = None
+    log_text = ""
+    while time.monotonic() < deadline:
+        runs = glob.glob(os.path.join(root, "*"))
+        if runs:
+            run_dir = runs[0]
+            lp = os.path.join(run_dir, "train.log")
+            if os.path.exists(lp):
+                log_text = open(lp).read()
+                if "Iter: " in log_text:
+                    break
+        assert proc.poll() is None, proc.stdout.read()[-3000:]
+        time.sleep(0.5)
+    assert run_dir and "Iter: " in log_text, "training never logged a step"
+
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out[-3000:]
+
+    # a full-state checkpoint exists at the preemption step
+    steps = [int(os.path.basename(p).split("_")[1]) for p in
+             glob.glob(os.path.join(run_dir, "checkpoints", "step_*"))]
+    assert steps, out[-3000:]
+    s = max(steps)
+    assert 0 < s < 400
+    recs = [json.loads(l) for l in
+            open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert any(r["event"] == "preempted" and r["step"] == s for r in recs)
+
+    # resume completes from exactly that step
+    r = subprocess.run(_cmd(tree, run_dir, s + 2, resume=True), env=_env(),
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    log_text = open(os.path.join(run_dir, "train.log")).read()
+    assert f"resumed from step {s}" in log_text
+
+
 def test_resume_cli_order_exact_and_metrics_truncation(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from make_fake_voc import make_tree

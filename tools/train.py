@@ -310,6 +310,22 @@ def main():
         tb.image("CAM/cams_1", cam_overlay_grid(imgs01, cams[0]), step)
         tb.image("CAM/cams_2", cam_overlay_grid(imgs01, cams[1]), step)
 
+    # Preemption safety: TPU spot/preemptible VMs deliver SIGTERM with a
+    # grace window.  Trap it (and SIGINT) into a flag the train loop checks
+    # each iteration: save a full checkpoint, then exit cleanly — together
+    # with the order-exact --resume path, a preempted run loses at most one
+    # step of work.  (The reference has no resume at all; a killed run
+    # restarts from iter 0.)
+    import signal
+
+    preempted = {"sig": None}
+
+    def _on_term(signum, frame):
+        preempted["sig"] = signum
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _on_term)
+
     with mesh:
         state = shard_state(mesh, state, fsdp=args.fsdp)
         # Host-side step counter (in lockstep with state.step, which advances
@@ -325,6 +341,14 @@ def main():
         for batch, dev_batch in feeder:
             if step >= cfg.max_iters:
                 break
+            if preempted["sig"] is not None:
+                log.info("signal %d: checkpointing at step %d and exiting "
+                         "(resume with --resume)", preempted["sig"], step)
+                ckpt.save_state(ckpt_dir, state)
+                jlog(event="preempted", step=step, signal=preempted["sig"])
+                feeder.stop()
+                tb.close()
+                return
             if args.profile_iters and step == args.profile_iters[0]:
                 jax.profiler.start_trace(os.path.join(work_dir, "profile"))
             state, metrics = trainer.train_step(state, dev_batch, step=step)
