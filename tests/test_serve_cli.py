@@ -74,6 +74,12 @@ def test_export_then_serve_cli(tmp_path):
             out = Image.open(io.BytesIO(resp.read()))
         assert out.mode == "P" and out.size == (56, 40)
         assert np.asarray(out).max() < 21
-    finally:
+
+        # graceful drain: SIGTERM (the deployment stop signal) must shut the
+        # server down cleanly, not kill it mid-request-loop
         proc.terminate()
-        proc.wait(timeout=10)
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)

@@ -72,6 +72,15 @@ def main():
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(batch {session.batch_size}, crop {session.crop_size}, "
           f"{session.num_classes} classes)")
+
+    # graceful SIGTERM (deployment stop signal): shutdown() must run off the
+    # serve_forever thread or it deadlocks, hence the helper thread; the
+    # finally block then fails queued requests fast via batcher.close()
+    import signal
+    import threading
+
+    signal.signal(signal.SIGTERM, lambda *a: threading.Thread(
+        target=server.shutdown, daemon=True).start())
     try:
         server.serve_forever()
     except KeyboardInterrupt:
