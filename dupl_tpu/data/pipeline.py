@@ -108,6 +108,15 @@ class PrefetchLoader:
         skip = self.start_step * self.batch_size
         while not self._stop.is_set():
             order = self._epoch_order(epoch)
+            if len(order) == 0:
+                # dataset smaller than one (global) batch: without this the
+                # loop would spin epochs forever yielding nothing and the
+                # consumer would hang silently on an empty queue
+                raise ValueError(
+                    f"dataset of {len(self.dataset)} samples yields no "
+                    f"complete batch (batch_size={self.batch_size}, "
+                    f"num_shards={self.num_shards}, drop_last="
+                    f"{self.drop_last})")
             if skip >= len(order):
                 skip -= len(order)
             else:
@@ -252,16 +261,29 @@ class DeviceFeeder:
                     return
             self._q.put(None)  # loader exhausted
         except BaseException as e:  # noqa: BLE001 — must reach the consumer
-            if not self._stop.is_set():
+            err = _WorkerError(e, "device feeder")
+            while not self._stop.is_set():
+                # make room through the queue API (a raw deque appendleft
+                # would skip the not_empty notify and could leave the
+                # consumer blocked in get() forever)
                 try:
-                    self._q.put_nowait(_WorkerError(e, "device feeder"))
+                    self._q.put_nowait(err)
+                    return
                 except queue.Full:
-                    self._q.queue.appendleft(_WorkerError(e, "device feeder"))
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     def __iter__(self):
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._producer, daemon=True)
-            self._thread.start()
+        if self._thread is not None:
+            # same contract as PrefetchLoader: a second iteration would block
+            # forever on the drained queue — fail loudly instead
+            raise RuntimeError(
+                "DeviceFeeder is single-use: build a new feeder (and loader) "
+                "instead of iterating twice")
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
         while True:
             item = self._q.get()
             if item is None or self._stop.is_set():

@@ -197,6 +197,25 @@ class RecordStore:
         self.names: List[str] = [e["name"] for e in self.entries]
         self.sizes: List[Tuple[int, int]] = [tuple(e["size"]) for e in self.entries]
         self._by_name = {e["name"]: e for e in self.entries}
+        if len(self._by_name) != len(self.entries):
+            # e.g. a glob that matches both a monolithic shard and sharded
+            # pieces of the same split: the dataset would silently double-
+            # count every sample, with name-keyed reads resolving to
+            # whichever shard parsed last
+            dupes = len(self.entries) - len(self._by_name)
+            raise ValueError(
+                f"{self.path}: {dupes} duplicate sample name(s) across "
+                "shards — the path/glob matches overlapping packings of "
+                "the same split")
+        n_lab = sum("label" in e for e in self.entries)
+        if n_lab and n_lab != len(self.entries):
+            # same load-time loudness as the cls check below: a mixed
+            # with_labels set would otherwise die mid-run on the first
+            # unlucky sample's KeyError
+            raise ValueError(
+                f"{self.path}: {n_lab}/{len(self.entries)} samples carry a "
+                "mask — shards were packed with inconsistent with_labels; "
+                "re-pack the split uniformly")
         self.cls_labels: Optional[Dict[str, np.ndarray]] = None
         n_cls = sum("cls" in e for e in self.entries)
         if n_cls and n_cls != len(self.entries):

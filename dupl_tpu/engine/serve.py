@@ -20,7 +20,7 @@ import json
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence
@@ -167,6 +167,14 @@ class Batcher:
             fut.set_exception(RuntimeError("batcher closed"))
             return fut
         self._q.put((image, fut))
+        if self._stop.is_set() and not fut.done():
+            # close() may have drained the queue between the check above and
+            # the put; nobody will process the item now — fail it (races
+            # close()'s own drain benignly: whoever sets first wins)
+            try:
+                fut.set_exception(RuntimeError("batcher closed"))
+            except InvalidStateError:
+                pass
         return fut
 
     def close(self) -> None:
@@ -230,10 +238,23 @@ class Batcher:
 def _decode_image(body: bytes, content_type: str) -> np.ndarray:
     if content_type == "application/x-npy":
         arr = np.load(io.BytesIO(body), allow_pickle=False)
-        return np.asarray(arr, np.uint8)
-    from PIL import Image
+        # strict: a silent cast would truncate float [0,1] images to all
+        # zeros (or wrap large ints mod 256) and serve garbage with a 200
+        if arr.dtype != np.uint8:
+            raise ValueError(
+                f"x-npy body must be uint8, got {arr.dtype} — scale to "
+                "[0,255] and cast client-side")
+        img = arr
+    else:
+        from PIL import Image
 
-    return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+        img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+    # validate the contract HERE, before the request joins a micro-batch: a
+    # malformed image failing inside the batched predict() would poison
+    # every co-riding request's future with its error
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"want HxWx3 RGB, got shape {img.shape}")
+    return img
 
 
 def _encode_png(label: np.ndarray) -> bytes:
@@ -307,6 +328,11 @@ def make_http_server(batcher: Batcher, host: str = "127.0.0.1",
             # server-side inference failures -> 500; batcher timeout -> 504
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n < 0:
+                    # read(-1) would buffer until EOF, bypassing the cap
+                    self._json_counted(
+                        400, {"error": f"invalid Content-Length {n}"})
+                    return
                 if n > MAX_BODY_BYTES:
                     self._json_counted(
                         413, {"error": f"body {n} bytes exceeds "

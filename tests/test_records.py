@@ -152,20 +152,41 @@ def test_sharded_pack_and_glob_read(fake_voc, tmp_path):  # noqa: F811
         RecordStore(str(tmp_path / "absent-*.duplrec"))
 
 
-def test_mixed_cls_shards_rejected(fake_voc, tmp_path):  # noqa: F811
-    """Shards packed with inconsistent with_cls must fail loudly at load,
-    not crash with a raw KeyError or silently drop labels by shard order."""
-    from dupl_tpu.data.records import RecordStore, pack_voc
+def test_inconsistent_and_overlapping_shards_rejected(fake_voc, tmp_path):  # noqa: F811
+    """Load-time loudness for malformed shard sets: inconsistent with_cls,
+    inconsistent with_labels, and overlapping packings (duplicate names)
+    must all fail at RecordStore construction, not mid-run."""
+    from dupl_tpu.data.records import RecordStore, pack_records, pack_voc
+    from dupl_tpu.data.voc import load_name_list
 
     root, lists = fake_voc
-    a = str(tmp_path / "mix-00000-of-00002.duplrec")
-    b = str(tmp_path / "mix-00001-of-00002.duplrec")
-    pack_voc(root, lists, "train_aug", a, with_cls=True)
-    pack_voc(root, lists, "val", b, with_cls=False)
+    names = load_name_list(os.path.join(lists, "train_aug.txt"))
+    img = [os.path.join(root, "JPEGImages", n + ".jpg") for n in names]
+    lab = [os.path.join(root, "SegmentationClassAug", n + ".png")
+           for n in names]
+    cls = {n: np.zeros(20, np.float32) for n in names}
+
+    # disjoint halves, one packed with cls labels and masks, one without
+    a = str(tmp_path / "a.duplrec")
+    b_nocls = str(tmp_path / "b_nocls.duplrec")
+    b_nolab = str(tmp_path / "b_nolab.duplrec")
+    pack_records(a, names[:4], img[:4], lab[:4], cls)
+    pack_records(b_nocls, names[4:], img[4:], lab[4:], None)
+    pack_records(b_nolab, names[4:], img[4:], None, cls)
+
     with pytest.raises(ValueError, match="inconsistent with_cls"):
-        RecordStore([a, b])
+        RecordStore([a, b_nocls])
     with pytest.raises(ValueError, match="inconsistent with_cls"):
-        RecordStore([b, a])  # order-independent
+        RecordStore([b_nocls, a])  # order-independent
+    with pytest.raises(ValueError, match="inconsistent with_labels"):
+        RecordStore([a, b_nolab])
+
+    # overlapping packings of the same split (monolithic + sharded in one
+    # glob) double-count samples — rejected by the duplicate-name guard
+    full = str(tmp_path / "full.duplrec")
+    pack_voc(root, lists, "train_aug", full)
+    with pytest.raises(ValueError, match="duplicate sample name"):
+        RecordStore([full, a])
 
 
 def test_record_store_rejects_garbage_and_guards(tmp_path):

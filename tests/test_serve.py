@@ -246,6 +246,47 @@ def test_http_oversized_body_is_413(http_server, monkeypatch):
     assert ei.value.code == 413
 
 
+def test_http_rejects_negative_content_length_and_nonuint8_npy(http_server):
+    """Body-cap bypass via Content-Length: -1 -> 400 (never read-to-EOF);
+    float .npy must be rejected, not silently truncated to zeros."""
+    req = urllib.request.Request(http_server + "/v1/segment", data=b"x",
+                                 method="POST",
+                                 headers={"Content-Type": "image/png"})
+    req.add_unredirected_header("Content-Length", "-1")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((8, 8, 3), np.float32))
+    req = urllib.request.Request(http_server + "/v1/segment",
+                                 data=buf.getvalue(), method="POST",
+                                 headers={"Content-Type": "application/x-npy"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert "uint8" in ei.value.read().decode()
+
+
+def test_http_malformed_request_does_not_poison_cobatched(http_server):
+    """A 2-D .npy must 400 at decode time, BEFORE joining a micro-batch —
+    a valid request sent immediately after must still succeed."""
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((8, 8), np.uint8))  # wrong rank
+    req = urllib.request.Request(http_server + "/v1/segment",
+                                 data=buf.getvalue(), method="POST",
+                                 headers={"Content-Type": "application/x-npy"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+    good = io.BytesIO()
+    np.save(good, np.full((16, 16, 3), 7, np.uint8))
+    ctype, body = _post(http_server + "/v1/segment", good.getvalue(),
+                        "application/x-npy", accept="application/x-npy")
+    assert (np.load(io.BytesIO(body)) == 7 % 21).all()
+
+
 def test_http_inference_failure_is_500():
     """Server-side inference errors must surface as 5xx, not 400."""
     def run(batch):
