@@ -150,14 +150,22 @@ class SegEvaluator:
             crf: str = "device", out_dir: Optional[str] = None,
             max_images: Optional[int] = None, log=None,
             shard: int = 0, num_shards: int = 1,
-            ensemble: bool = False) -> Dict[str, object]:
-        """Evaluate; returns per-branch raw scores, the selected branch, and
-        CRF scores.  ``shard``/``num_shards`` stride the dataset like the
-        reference's DDP eval split (eval_seg_coco_ddp.py:240-242).
+            ensemble: bool = False,
+            branch: Optional[int] = None) -> Dict[str, object]:
+        """Evaluate; returns per-branch raw scores, the selected branch, CRF
+        scores, AND the raw confusion matrices (``hist_1``/``hist_2``/
+        ``crf_hist``) so sharded runs can be merged into the reference's
+        single global metric.  ``shard``/``num_shards`` stride the dataset
+        like the reference's DDP eval split (eval_seg_coco_ddp.py:240-242) —
+        but note the reference gathers histograms across ranks BEFORE its
+        branch pick; a multi-shard run here should either force ``branch``
+        (after a cross-shard pick via :func:`merge_shard_results`) or merge
+        the returned hists rather than averaging per-shard mIoUs.
 
         ``ensemble=True`` averages the two students' logits for the CRF pass
         instead of picking the better branch — the "ensemble" trick the
-        reference README suggests but does not implement."""
+        reference README suggests but does not implement.  ``branch`` forces
+        the CRF branch (1 or 2) regardless of this shard's local scores."""
         cfg = self.cfg
         nc = cfg.num_classes
         base = cfg.data.crop_size
@@ -220,6 +228,7 @@ class SegEvaluator:
         # eval_seg_voc.py:83-84) ------------------------------------------------
         hists = {1: np.zeros((nc, nc), np.float64), 2: np.zeros((nc, nc), np.float64)}
         native = self.input_mode == "native"
+        n_batches = 0
         for lo, samples, imgs in batches():
             dev_logits = fn(params, imgs)                      # (2, B, h, w, C)
             if native:
@@ -238,19 +247,22 @@ class SegEvaluator:
                     for k in (1, 2):
                         up = _resize_logits_host(logits[k - 1, bi], size)
                         add_hist(hists[k], s["label"], up.argmax(-1))
-            if log and (lo // batch_size) % 10 == 0:
-                log.info("eval %d/%d", lo + len(samples), len(indices))
+            n_batches += 1
+            if log and n_batches % 10 == 1:  # every 10 batches, chunk-size-
+                log.info("eval %d/%d", lo + len(samples), len(indices))  # agnostic
 
         scores = {k: metrics_utils.scores_from_hist(hists[k]) for k in (1, 2)}
         # reference tie-break: branch1 only if STRICTLY better
         # (eval_seg_voc.py:185-188, eval_seg_coco_ddp.py:251-254)
-        best = 1 if scores[1]["miou"] > scores[2]["miou"] else 2
+        best = branch or (1 if scores[1]["miou"] > scores[2]["miou"] else 2)
         result: Dict[str, object] = {
             "seg_score_1": scores[1], "seg_score_2": scores[2], "branch": best,
+            "hist_1": hists[1], "hist_2": hists[2],
         }
         if log:
-            log.info("branch1 mIoU %.3f | branch2 mIoU %.3f -> branch %d",
-                     100 * scores[1]["miou"], 100 * scores[2]["miou"], best)
+            log.info("branch1 mIoU %.3f | branch2 mIoU %.3f -> branch %d%s",
+                     100 * scores[1]["miou"], 100 * scores[2]["miou"], best,
+                     " (forced)" if branch else "")
 
         if crf == "none":
             return result
@@ -262,73 +274,83 @@ class SegEvaluator:
         # ---- pass 2: recompute the chosen branch's logits and CRF each batch
         # immediately (bounded memory at any dataset size) ---------------------
         crf_hist = np.zeros((nc, nc), np.float64)
+        pool = None
         if crf == "native":
             from concurrent.futures import ThreadPoolExecutor
             from dupl_tpu.ops.crf_native import DenseCRF
             post = DenseCRF.from_config(self.cfg.crf)
-            pool = ThreadPoolExecutor(max(1, int(os.cpu_count() * 0.8)))
+            # cpu_count() may return None on some platforms
+            pool = ThreadPoolExecutor(max(1, int((os.cpu_count() or 1) * 0.8)))
 
-        for lo, samples, imgs in batches():
-            dev_logits = fn(params, imgs)                        # (2,B,h,w,C)
-            if crf == "device":
-                pick = (jnp.mean(dev_logits, axis=0) if ensemble
-                        else dev_logits[best - 1])               # (B,h,w,C)
-                if native:
-                    # whole chain on device; only uint8 labels leave the chip
-                    lh, lw = pick.shape[1:3]
-                    ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
-                    lg = jnp.pad(pick, ((0, 0), (0, ph - lh), (0, pw - lw),
-                                        (0, 0)), mode="edge")
-                    probs = jax.nn.softmax(lg, axis=-1)
-                    # raw images ride up as uint8 (4x less host->device)
-                    imgs01 = jnp.pad(
-                        jnp.stack([jnp.asarray(s["raw_image"]) for s in samples]
-                                  ).astype(jnp.float32) / 255.0,
-                        ((0, 0), (0, ph - lh), (0, pw - lw), (0, 0)),
-                        mode="edge")
-                    ref_m = crf_ops.crf_from_config(imgs01, probs, self.cfg.crf)
-                    preds = np.asarray(jnp.argmax(
-                        ref_m[:, :lh, :lw], axis=-1).astype(jnp.uint8))
-                    for bi, s in enumerate(samples):
-                        add_hist(crf_hist, s["label"], preds[bi])
-                        self._write_pred(out_dir, s["name"], preds[bi])
-                else:
-                    if self.merge_at == "decoder":  # CRF wants image res
-                        pick = image_ops.resize_bilinear(
-                            pick, (base, base))
-                    probs = jax.nn.softmax(pick, axis=-1)
-                    imgs01 = jnp.stack([
-                        image_ops.resize_bilinear(
-                            jnp.asarray(s["raw_image"]).astype(jnp.float32)[None]
-                            / 255.0, (base, base))[0]
-                        for s in samples
-                    ])
-                    refined = np.asarray(
-                        crf_ops.crf_from_config(imgs01, probs, self.cfg.crf))
-                    for bi, s in enumerate(samples):
-                        pred = _resize_logits_host(
-                            refined[bi], s["label"].shape).argmax(-1)
+        try:  # the pool must not leak worker threads if the loop raises
+            for lo, samples, imgs in batches():
+                dev_logits = fn(params, imgs)                    # (2,B,h,w,C)
+                if crf == "device":
+                    pick = (jnp.mean(dev_logits, axis=0) if ensemble
+                            else dev_logits[best - 1])           # (B,h,w,C)
+                    if native:
+                        # whole chain on device; only uint8 labels leave the
+                        # chip
+                        lh, lw = pick.shape[1:3]
+                        ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
+                        lg = jnp.pad(pick, ((0, 0), (0, ph - lh),
+                                            (0, pw - lw), (0, 0)), mode="edge")
+                        probs = jax.nn.softmax(lg, axis=-1)
+                        # raw images ride up as uint8 (4x less host->device)
+                        imgs01 = jnp.pad(
+                            jnp.stack([jnp.asarray(s["raw_image"])
+                                       for s in samples]
+                                      ).astype(jnp.float32) / 255.0,
+                            ((0, 0), (0, ph - lh), (0, pw - lw), (0, 0)),
+                            mode="edge")
+                        ref_m = crf_ops.crf_from_config(imgs01, probs,
+                                                        self.cfg.crf)
+                        preds = np.asarray(jnp.argmax(
+                            ref_m[:, :lh, :lw], axis=-1).astype(jnp.uint8))
+                        for bi, s in enumerate(samples):
+                            add_hist(crf_hist, s["label"], preds[bi])
+                            self._write_pred(out_dir, s["name"], preds[bi])
+                    else:
+                        if self.merge_at == "decoder":  # CRF wants image res
+                            pick = image_ops.resize_bilinear(
+                                pick, (base, base))
+                        probs = jax.nn.softmax(pick, axis=-1)
+                        imgs01 = jnp.stack([
+                            image_ops.resize_bilinear(
+                                jnp.asarray(s["raw_image"]
+                                            ).astype(jnp.float32)[None]
+                                / 255.0, (base, base))[0]
+                            for s in samples
+                        ])
+                        refined = np.asarray(
+                            crf_ops.crf_from_config(imgs01, probs,
+                                                    self.cfg.crf))
+                        for bi, s in enumerate(samples):
+                            pred = _resize_logits_host(
+                                refined[bi], s["label"].shape).argmax(-1)
+                            add_hist(crf_hist, s["label"], pred)
+                            self._write_pred(out_dir, s["name"], pred)
+                else:  # native permutohedral at native res (reference-exact)
+                    all_logits = np.asarray(dev_logits, np.float32)
+                    logits = (all_logits.mean(axis=0) if ensemble
+                              else all_logits[best - 1])
+
+                    def job(arg):
+                        s, lg = arg
+                        up = _resize_logits_host(lg, s["label"].shape)
+                        prob = np.exp(up - up.max(-1, keepdims=True))
+                        prob /= prob.sum(-1, keepdims=True)
+                        out = post(s["raw_image"], prob.transpose(2, 0, 1))
+                        return s, out.argmax(0)
+
+                    for s, pred in pool.map(job, zip(samples, logits)):
                         add_hist(crf_hist, s["label"], pred)
                         self._write_pred(out_dir, s["name"], pred)
-            else:  # native permutohedral at native res (reference-exact)
-                all_logits = np.asarray(dev_logits, np.float32)
-                logits = (all_logits.mean(axis=0) if ensemble
-                          else all_logits[best - 1])
-                def job(arg):
-                    s, lg = arg
-                    up = _resize_logits_host(lg, s["label"].shape)
-                    prob = np.exp(up - up.max(-1, keepdims=True))
-                    prob /= prob.sum(-1, keepdims=True)
-                    out = post(s["raw_image"], prob.transpose(2, 0, 1))
-                    return s, out.argmax(0)
-
-                for s, pred in pool.map(job, zip(samples, logits)):
-                    add_hist(crf_hist, s["label"], pred)
-                    self._write_pred(out_dir, s["name"], pred)
-
-        if crf == "native":
-            pool.shutdown()
+        finally:
+            if pool is not None:
+                pool.shutdown()
         result["crf_score"] = metrics_utils.scores_from_hist(crf_hist)
+        result["crf_hist"] = crf_hist
         if log:
             log.info("CRF mIoU %.3f", 100 * result["crf_score"]["miou"])
         return result
@@ -342,3 +364,32 @@ class SegEvaluator:
             os.path.join(out_dir, "seg_preds", name + ".png"))
         Image.fromarray(colormap.encode_cmap(pred)).save(
             os.path.join(out_dir, "seg_preds_rgb", name + ".png"))
+
+
+def merge_shard_results(results) -> Dict[str, object]:
+    """Combine per-shard :meth:`SegEvaluator.run` results into the reference
+    protocol's single global metric.
+
+    The reference DDP eval gathers histograms across ranks and THEN picks
+    the better branch once (eval_seg_coco_ddp.py:244-254); summing the
+    per-shard confusion matrices here is numerically identical to the
+    single-process run over the whole split.  Accepts result dicts (or
+    anything mapping with ``hist_1``/``hist_2`` and optional ``crf_hist``)."""
+    from dupl_tpu.utils import metrics as metrics_utils
+
+    h1 = sum(np.asarray(r["hist_1"], np.float64) for r in results)
+    h2 = sum(np.asarray(r["hist_2"], np.float64) for r in results)
+    scores = {1: metrics_utils.scores_from_hist(h1),
+              2: metrics_utils.scores_from_hist(h2)}
+    best = 1 if scores[1]["miou"] > scores[2]["miou"] else 2
+    merged: Dict[str, object] = {
+        "seg_score_1": scores[1], "seg_score_2": scores[2], "branch": best,
+        "hist_1": h1, "hist_2": h2,
+    }
+    crf_hists = [np.asarray(r["crf_hist"], np.float64) for r in results
+                 if r.get("crf_hist") is not None]
+    if crf_hists:
+        ch = sum(crf_hists)
+        merged["crf_hist"] = ch
+        merged["crf_score"] = metrics_utils.scores_from_hist(ch)
+    return merged

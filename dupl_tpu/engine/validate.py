@@ -23,17 +23,7 @@ from dupl_tpu.ops import image as image_ops
 from dupl_tpu.utils import metrics as metrics_utils
 
 
-def _resize_logits_host(logits: np.ndarray, size) -> np.ndarray:
-    """(h, w, C) float logits -> bilinear resize to ``size`` on host."""
-    from PIL import Image
-
-    h, w = size
-    out = np.empty((h, w, logits.shape[-1]), np.float32)
-    for c in range(logits.shape[-1]):
-        out[..., c] = np.asarray(
-            Image.fromarray(logits[..., c]).resize((w, h), Image.BILINEAR)
-        )
-    return out
+_resize_logits_host = metrics_utils.resize_logits_host
 
 
 def cam_label_host(cam: np.ndarray, cls_label: np.ndarray, bkg_thre: float) -> np.ndarray:
@@ -46,14 +36,9 @@ def cam_label_host(cam: np.ndarray, cls_label: np.ndarray, bkg_thre: float) -> n
     return label
 
 
-def add_hist(hist: np.ndarray, gt: np.ndarray, pred: np.ndarray) -> None:
-    nc = hist.shape[0]
-    gt = gt.reshape(-1)
-    pred = pred.reshape(-1)
-    mask = (gt >= 0) & (gt < nc)
-    hist += np.bincount(
-        nc * gt[mask].astype(np.int64) + pred[mask], minlength=nc * nc
-    ).reshape(nc, nc)
+# canonical implementations live in utils/metrics.py; the aliases keep this
+# module's historical import surface (tools/infer_cam.py, eval_seg.py)
+add_hist = metrics_utils.add_hist
 
 
 class Validator:
@@ -110,7 +95,11 @@ class Validator:
 
                 cams, cams_aux, out = jax.vmap(one_branch)(
                     jax.lax.stop_gradient(params))
-                if tdt is not None:
+                if tdt is not None and not self.device_post:
+                    # the cast exists to halve the device->host CAM transfer
+                    # of the HOST post path; under device_post the CAMs never
+                    # leave the chip, so rounding them before the 0.45/0.7
+                    # threshold banding would cost accuracy for zero bytes
                     cams = cams.astype(tdt)
                     cams_aux = cams_aux.astype(tdt)
                 return out.cls, out.seg, cams, cams_aux

@@ -25,6 +25,33 @@ def fast_hist(label_true: jax.Array, label_pred: jax.Array, num_classes: int) ->
     return hist.reshape(num_classes, num_classes)
 
 
+def add_hist(hist: np.ndarray, gt: np.ndarray, pred: np.ndarray) -> None:
+    """Accumulate a confusion matrix in place (host-side counterpart of
+    :func:`fast_hist`; shared by the validator, the offline evaluator, and
+    tools/infer_cam.py)."""
+    nc = hist.shape[0]
+    gt = gt.reshape(-1)
+    pred = pred.reshape(-1)
+    mask = (gt >= 0) & (gt < nc)
+    hist += np.bincount(
+        nc * gt[mask].astype(np.int64) + pred[mask], minlength=nc * nc
+    ).reshape(nc, nc)
+
+
+def resize_logits_host(logits: np.ndarray, size) -> np.ndarray:
+    """(h, w, C) float logits -> bilinear resize to ``size`` on host (the
+    reference's F.interpolate-to-native-before-argmax protocol step)."""
+    from PIL import Image
+
+    h, w = size
+    out = np.empty((h, w, logits.shape[-1]), np.float32)
+    for c in range(logits.shape[-1]):
+        out[..., c] = np.asarray(
+            Image.fromarray(logits[..., c]).resize((w, h), Image.BILINEAR)
+        )
+    return out
+
+
 def scores_from_hist(hist: np.ndarray) -> Dict[str, object]:
     """pAcc / mAcc / mIoU / per-class IoU from an accumulated confusion matrix
     (reference: utils/evaluate.py:17-35; mIoU averages only classes that appear

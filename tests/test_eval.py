@@ -77,16 +77,55 @@ def test_validator_device_post_matches_host(tiny_setup):
 
 
 def test_validator_bf16_transfer_same_scores(tiny_setup):
-    """transfer_dtype='bfloat16' (remote-relay transfer saver) must not move
-    any reported score on the tiny model: CAMs are [0, 1]-normalised, so the
-    rounding sits far below the banding thresholds."""
+    """transfer_dtype='bfloat16' (remote-relay transfer saver for the HOST
+    post path) must not move any reported score on the tiny model: CAMs are
+    [0, 1]-normalised, so the rounding sits far below the banding
+    thresholds."""
+    cfg, trainer, params = tiny_setup
+    a = Validator(cfg, trainer.model, device_post=False).run(
+        params, FakeSegDataset())
+    b = Validator(cfg, trainer.model, device_post=False,
+                  transfer_dtype="bfloat16").run(params, FakeSegDataset())
+    for key in ("seg_1_miou", "seg_2_miou", "cam_1_miou", "cam_2_miou",
+                "cam_aux_1_miou", "cam_aux_2_miou"):
+        assert abs(a[key] - b[key]) < 5e-3, (key, a[key], b[key])
+
+
+def test_validator_bf16_noop_under_device_post(tiny_setup):
+    """Under device_post (default) the CAMs never leave the chip, so the
+    bf16 cast is skipped entirely — scores must be EXACTLY the f32 ones
+    (the cast would cost accuracy for zero transfer bytes)."""
     cfg, trainer, params = tiny_setup
     a = Validator(cfg, trainer.model).run(params, FakeSegDataset())
     b = Validator(cfg, trainer.model,
                   transfer_dtype="bfloat16").run(params, FakeSegDataset())
     for key in ("seg_1_miou", "seg_2_miou", "cam_1_miou", "cam_2_miou",
                 "cam_aux_1_miou", "cam_aux_2_miou"):
-        assert abs(a[key] - b[key]) < 5e-3, (key, a[key], b[key])
+        assert a[key] == b[key], (key, a[key], b[key])
+
+
+def test_sharded_eval_merges_to_global_metric(tiny_setup):
+    """Per-shard runs + merge_shard_results must reproduce the 1-process
+    metric exactly (the reference gathers hists across ranks BEFORE its
+    branch pick, eval_seg_coco_ddp.py:244-254 — hist sums are exact)."""
+    from dupl_tpu.engine.eval_seg import merge_shard_results
+
+    cfg, trainer, params = tiny_setup
+    ev = SegEvaluator(cfg, trainer.model, scales=(1.0,), input_mode="fixed")
+    ds = FakeSegDataset(n=6)
+    full = ev.run(params, ds, crf="none")
+    shards = [ev.run(params, ds, crf="none", shard=i, num_shards=2)
+              for i in range(2)]
+    merged = merge_shard_results(shards)
+    np.testing.assert_array_equal(merged["hist_1"], full["hist_1"])
+    np.testing.assert_array_equal(merged["hist_2"], full["hist_2"])
+    assert merged["branch"] == full["branch"]
+    assert merged["seg_score_1"]["miou"] == full["seg_score_1"]["miou"]
+    assert merged["seg_score_2"]["miou"] == full["seg_score_2"]["miou"]
+
+    # branch= forces the CRF branch regardless of the local pick
+    forced = ev.run(params, ds, crf="none", branch=3 - full["branch"])
+    assert forced["branch"] == 3 - full["branch"]
 
 
 def test_seg_evaluator_no_crf(tiny_setup):

@@ -14,6 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 import jax
 
 
@@ -31,7 +32,7 @@ def main():
                         "(tools/pack_records.py); replaces --data-folder")
     p.add_argument("--list-folder", default=None)
     p.add_argument("--label-folder", default=None, help="COCO masks root")
-    p.add_argument("--weights", required=True, help="weights .npz from training")
+    p.add_argument("--weights", default=None, help="weights .npz from training")
     p.add_argument("--infer-set", default=None, help="val / test / val_part")
     p.add_argument("--out-dir", default=None)
     p.add_argument("--crf", choices=["device", "native", "none"], default="device")
@@ -55,10 +56,25 @@ def main():
                    help="strided dataset shard (reference DDP eval split, "
                         "eval_seg_coco_ddp.py:240-242)")
     p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--branch", type=int, default=None, choices=[1, 2],
+                   help="force the CRF branch (e.g. after a cross-shard "
+                        "merged pick) instead of this run's local pick")
+    p.add_argument("--save-hists", default=None,
+                   help="save raw confusion matrices to this .npz (for "
+                        "--merge-hists across shards)")
+    p.add_argument("--merge-hists", nargs="+", default=None,
+                   help="merge per-shard hist .npz files into the global "
+                        "protocol metric and exit (no inference)")
     p.add_argument("--backbone", default=None,
                    help="override backbone (e.g. test_tiny_patch16 for smoke)")
     p.add_argument("--crop-size", type=int, default=None)
     args = p.parse_args()
+
+    if args.merge_hists:
+        merge_main(args.merge_hists)
+        return
+    if not args.weights:
+        raise SystemExit("--weights is required (unless --merge-hists)")
 
     from dupl_tpu.config import voc_config, coco_config
     from dupl_tpu.engine import checkpoint as ckpt
@@ -125,16 +141,48 @@ def main():
     ev = SegEvaluator(cfg, trainer.model, scales=scales, merge=merge,
                       input_mode=args.input_mode,
                       merge_at="input" if args.input_mode == "native" else merge_at)
+    if args.num_shards > 1 and not (args.branch or args.ensemble):
+        log.warning(
+            "num_shards=%d: the branch pick below is LOCAL to this shard's "
+            "stride; the reference protocol picks once from the merged "
+            "histograms. Save each shard with --save-hists and combine with "
+            "--merge-hists (or force --branch after a merged pick).",
+            args.num_shards)
     res = ev.run(params, ds, batch_size=args.batch_size, crf=args.crf,
                  out_dir=args.out_dir, max_images=args.max_images, log=log,
                  shard=args.shard, num_shards=args.num_shards,
-                 ensemble=args.ensemble)
+                 ensemble=args.ensemble, branch=args.branch)
+
+    if args.save_hists:
+        np.savez(args.save_hists, hist_1=res["hist_1"], hist_2=res["hist_2"],
+                 **({"crf_hist": res["crf_hist"]} if "crf_hist" in res else {}))
+        log.info("histograms -> %s", args.save_hists)
 
     tables = [res["seg_score_1"], res["seg_score_2"]]
     names = ["Seg_1", "Seg_2"]
     if "crf_score" in res:
         tables.append(res["crf_score"])
         names.append("ensemble+CRF" if args.ensemble else f"branch{res['branch']}+CRF")
+    print(format_score_table(tables, names, cfg.class_list))
+
+
+def merge_main(paths):
+    """--merge-hists: combine per-shard histogram files into the reference's
+    single global metric (gather-then-pick, eval_seg_coco_ddp.py:244-254)."""
+    from dupl_tpu.engine.eval_seg import merge_shard_results
+    from dupl_tpu.utils.metrics import format_score_table
+
+    shards = [dict(np.load(p)) for p in paths]
+    merged = merge_shard_results(shards)
+    tables = [merged["seg_score_1"], merged["seg_score_2"]]
+    names = ["Seg_1", "Seg_2"]
+    if "crf_score" in merged:
+        tables.append(merged["crf_score"])
+        names.append("merged+CRF")
+    nc = merged["hist_1"].shape[0]
+    from dupl_tpu.config import voc_config, coco_config
+    cfg = voc_config() if nc == 21 else coco_config()
+    print(f"merged {len(shards)} shards -> branch {merged['branch']}")
     print(format_score_table(tables, names, cfg.class_list))
 
 
