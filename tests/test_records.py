@@ -279,6 +279,72 @@ def test_train_cli_records_matches_directory(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_cli_sharded_merge_matches_full(tmp_path):
+    """tools/eval_seg.py --save-hists per shard + --merge-hists must print
+    the same global per-branch mIoUs (and branch pick) as the unsharded
+    run — the reference's gather-then-pick protocol, CLI end to end."""
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from make_fake_voc import make_tree
+
+    import jax
+    import jax.numpy as jnp
+    from dupl_tpu.config import ModelConfig, DataConfig, voc_config
+    from dupl_tpu.engine import checkpoint as ckpt
+    from dupl_tpu.models.network import DualStudent
+
+    tree = str(tmp_path / "voc")
+    make_tree(tree, n=6, size=96)
+    cfg = voc_config(model=ModelConfig(backbone="test_tiny_patch16",
+                                       compute_dtype="float32"),
+                     data=DataConfig(crop_size=64))
+    model = DualStudent(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    wpath = str(tmp_path / "w.npz")
+    ckpt.export_weights(wpath, params)
+
+    env = dict(os.environ)
+    for k in ("PYTHONPATH", "PALLAS_AXON_POOL_IPS", "XLA_FLAGS"):
+        env.pop(k, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    base = [sys.executable, os.path.join(repo, "tools", "eval_seg.py"),
+            "--dataset", "voc", "--weights", wpath,
+            "--data-folder", tree, "--list-folder",
+            os.path.join(tree, "lists"), "--backbone", "test_tiny_patch16",
+            "--crop-size", "64", "--crf", "none", "--batch-size", "2"]
+
+    def run(extra):
+        r = subprocess.run(extra, env=env, capture_output=True, text=True,
+                           timeout=900)
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        return r.stdout + r.stderr
+
+    full = run(base)
+    for i in range(2):
+        run(base + ["--shard", str(i), "--num-shards", "2",
+                    "--save-hists", str(tmp_path / f"s{i}.npz")])
+    merged = run([sys.executable, os.path.join(repo, "tools", "eval_seg.py"),
+                  "--merge-hists", str(tmp_path / "s0.npz"),
+                  str(tmp_path / "s1.npz")])
+
+    def mious(text):
+        for line in text.splitlines():
+            if line.strip().startswith("mIoU"):
+                return re.findall(r"[\d.]+", line)
+        return []
+
+    assert mious(full) and mious(full)[:2] == mious(merged)[:2], (full, merged)
+    # the console logger dual-emits lines; the picked branch is one value
+    (b_full,) = set(re.findall(r"-> branch (\d)", full))
+    (b_merged,) = set(re.findall(r"-> branch (\d)", merged))
+    assert b_full == b_merged
+
+
+@pytest.mark.slow
 def test_eval_cli_records_matches_directory(tmp_path):
     """tools/eval_seg.py --records: identical scores + identical branch pick
     to the directory-fed run on the same shard contents."""
