@@ -20,11 +20,36 @@ import orbax.checkpoint as ocp
 from dupl_tpu.engine.train import TrainState
 
 
+_CKPTR: Optional["ocp.StandardCheckpointer"] = None
+
+
+def _checkpointer() -> "ocp.StandardCheckpointer":
+    # one long-lived checkpointer per process (orbax's documented pattern);
+    # constructing one per save leaks its async machinery over long runs
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def _step_of(entry: str) -> Optional[int]:
+    """step_<n> -> n; None for anything else — including orbax's temp dirs
+    (``step_500.orbax-checkpoint-tmp-...``) left by an interrupted save,
+    which must never crash resume or pruning."""
+    if not entry.startswith("step_"):
+        return None
+    suffix = entry[len("step_"):]
+    return int(suffix) if suffix.isdigit() else None
+
+
 def save_state(ckpt_dir: str, state: TrainState, *, keep: int = 3) -> str:
-    """Save the full training state under ``ckpt_dir/step_<n>``."""
+    """Save the full training state under ``ckpt_dir/step_<n>``; retains the
+    ``keep`` (>= 1) most recent steps."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
     step = int(state.step)
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, dict(params=state.params, opt_state=state.opt_state,
                           step=state.step, rng=state.rng), force=True)
     ckptr.wait_until_finished()
@@ -34,8 +59,8 @@ def save_state(ckpt_dir: str, state: TrainState, *, keep: int = 3) -> str:
 
 def _prune(ckpt_dir: str, keep: int) -> None:
     entries = sorted(
-        (e for e in os.listdir(ckpt_dir) if e.startswith("step_")),
-        key=lambda e: int(e.split("_")[1]),
+        (e for e in os.listdir(ckpt_dir) if _step_of(e) is not None),
+        key=_step_of,
     )
     for e in entries[:-keep]:
         import shutil
@@ -45,8 +70,8 @@ def _prune(ckpt_dir: str, keep: int) -> None:
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [int(e.split("_")[1]) for e in os.listdir(ckpt_dir)
-             if e.startswith("step_")]
+    steps = [s for e in os.listdir(ckpt_dir)
+             if (s := _step_of(e)) is not None]
     return max(steps) if steps else None
 
 
@@ -58,7 +83,7 @@ def restore_state(ckpt_dir: str, template: TrainState,
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     restored = ckptr.restore(path, dict(
         params=template.params, opt_state=template.opt_state,
         step=template.step, rng=template.rng))

@@ -24,7 +24,9 @@ def poly_warmup_schedule(
     warm = warmup_ratio + (step / warmup_iters) * (1.0 - warmup_ratio)
     poly = (1.0 - step / max_iters) ** power
     mult = jnp.where(step < warmup_iters, warm, poly)
-    # reference keeps the last LR once step >= max_iter; clip for safety
+    # past max_iters (which the reference never evaluates — its loop stops)
+    # the poly base goes negative and a fractional power would produce NaN;
+    # clip to the decay's own limit at t -> T, which is 0
     mult = jnp.where(step >= max_iters, 0.0, mult)
     return base_lr * mult
 

@@ -33,6 +33,14 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        # auto-sized data axis must use EVERY device: silently dropping the
+        # remainder would train a smaller global batch than configured (and
+        # in a pod can idle all of one process's chips — hangs, not errors)
+        if len(devices) % n_model:
+            raise ValueError(
+                f"model-parallel size {n_model} does not divide the "
+                f"{len(devices)} available devices; choose a divisor or "
+                "pass n_data explicitly to use a subset deliberately")
         n_data = len(devices) // n_model
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
@@ -61,15 +69,6 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def replicate(mesh: Mesh, tree):
-    sh = NamedSharding(mesh, P())
-    if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-            tree)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
-
-
 # -------------------------------------------------------------------------- FSDP
 def _add_fsdp_axis(spec: P, leaf, n_data: int) -> P:
     """Add ZeRO-style parameter sharding over the ``data`` axis to a (possibly
@@ -91,7 +90,7 @@ def _add_fsdp_axis(spec: P, leaf, n_data: int) -> P:
     for i, (ax, dim) in enumerate(zip(entries, leaf.shape)):
         if ax is None and dim % n_data == 0 and dim > best_dim:
             best, best_dim = i, dim
-    if best is None or best_dim < n_data:  # tiny leaf: keep replicated
+    if best is None:  # no free dim divides n_data: keep replicated
         return spec
     entries[best] = "data"
     return P(*entries)
@@ -166,7 +165,16 @@ def shard_state(mesh: Mesh, state, fsdp: bool = False):
         try:
             sh = param_sharding(mesh, subtree, fsdp=fsdp)
             return jax.tree.map(jax.device_put, subtree, sh)
-        except Exception:
+        except Exception as exc:
+            if fsdp:
+                # replication silently forfeits ZeRO's n_data-fold optimizer
+                # memory saving — the one thing fsdp exists for; say so
+                import logging
+                logging.getLogger("dupl_tpu").warning(
+                    "fsdp: optimizer-moment tree does not mirror the param "
+                    "tree (%s: %s) — falling back to REPLICATED moments; "
+                    "per-chip optimizer memory will be %dx larger than "
+                    "intended", type(exc).__name__, exc, n_data)
             return jax.tree.map(opt_put, subtree)
 
     import optax

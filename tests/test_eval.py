@@ -220,6 +220,17 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
         np.asarray(loaded["params"]["decoder"]["conv6"]["kernel"]),
         np.asarray(state.params["params"]["decoder"]["conv6"]["kernel"]))
 
+    # an interrupted-save temp dir (orbax leaves step_<n>.orbax-...-tmp-...)
+    # must never crash resume discovery or pruning — the preemption-resume
+    # scenario is exactly when such leftovers exist
+    os.makedirs(os.path.join(path, "step_7.orbax-checkpoint-tmp-123"))
+    assert ckpt.latest_step(path) == 0
+    ckpt.save_state(path, state)  # runs _prune over the dirty directory
+    restored2 = ckpt.restore_state(path, template)
+    assert int(restored2.step) == 0
+    with pytest.raises(ValueError, match="keep must be >= 1"):
+        ckpt.save_state(path, state, keep=0)
+
 
 class _Uint8Wire(FakeSegDataset):
     """Same images as FakeSegDataset but in the uint8 wire format

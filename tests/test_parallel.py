@@ -21,6 +21,17 @@ def _named(params, shardings, path_contains):
     raise KeyError(path_contains)
 
 
+def test_make_mesh_rejects_nondividing_auto_model_axis():
+    """Auto-sized data axis must use every device: --model-parallel 3 on 8
+    chips would silently idle 2 of them (and in a pod can hang a process)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(n_model=3)
+    # explicit n_data keeps deliberate subsetting available
+    assert make_mesh(n_data=2, n_model=3).size == 6
+
+
 def test_tp_partition_specs():
     mesh = make_mesh(n_data=4, n_model=2)
     model = DualStudent(TINY)
